@@ -1,0 +1,259 @@
+"""Self/cross attention with masked sequences and a static KV cache.
+
+Parity target: ``/root/reference/modules/attention/attention.py``.
+Semantics preserved: fused qkv projection, padding+causal masking,
+Rotary/SinCos rotate q&k, ALiBi/T5 add a bias that is computed once and
+reused by later layers, fp32 softmax.
+
+TPU-first design:
+  * The reference materialises a dense ``(B, H, Tkv, Tkv)`` additive mask
+    and concatenates past K/V dynamically (``attention.py:56-77``).
+    Here the mask never exists as a tensor — padding/causal conditions
+    are fused ``jnp.where`` on the logits — and AR decode uses a
+    **preallocated ring-free static cache** written with
+    ``lax.dynamic_update_slice`` so the whole sampling loop jits as one
+    ``lax.scan`` (`decode_step`).
+  * Logit matmuls run in the compute dtype with fp32 accumulation
+    (``preferred_element_type``); softmax is fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..core.masked import Masked
+from ..core.precision import get_policy
+from ..hparams.hp import Hparams
+from .linear import Dense
+from .positions import ALiBi, Rotary, SinCos, T5RPE, get_positional_encoding
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerKVCache:
+    """Static per-layer KV cache: ``(B, maxT, H, D)``."""
+
+    k: Array
+    v: Array
+
+    @classmethod
+    def zeros(cls, batch: int, max_len: int, nheads: int, head_dim: int,
+              dtype=jnp.float32) -> "LayerKVCache":
+        shape = (batch, max_len, nheads, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def write(self, pos: Array, k: Array, v: Array) -> "LayerKVCache":
+        """Insert ``(B, S, H, D)`` new keys/values at position ``pos``."""
+        k = jax.lax.dynamic_update_slice(
+            self.k, k.astype(self.k.dtype), (0, pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            self.v, v.astype(self.v.dtype), (0, pos, 0, 0))
+        return LayerKVCache(k, v)
+
+
+def _split_heads(x: Array, nheads: int) -> Array:
+    b, t, c = x.shape
+    return x.reshape(b, t, nheads, c // nheads)
+
+
+def _merge_heads(x: Array) -> Array:
+    b, t, h, d = x.shape
+    return x.reshape(b, t, h * d)
+
+
+def attend(q: Array, k: Array, v: Array,
+           bias: Optional[Array], mask: Array,
+           return_attn: bool = False) -> Tuple[Array, Optional[Array]]:
+    """Masked multi-head attention core.
+
+    q: (B, Tq, H, D); k, v: (B, Tk, H, D); bias: (H, Tq, Tk) or None;
+    mask: (B, 1, Tq, Tk) bool (True = attend).
+    """
+    dt = get_policy().compute_dtype
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None]
+    logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(dt), v.astype(dt),
+                     preferred_element_type=jnp.float32)
+    return out.astype(dt), (weights if return_attn else None)
+
+
+class SelfAttention(nnx.Module):
+    """Masked (optionally causal) self-attention
+    (``attention.py:21-98``)."""
+
+    def __init__(self, dim: int, hp: Hparams, *, rngs: nnx.Rngs):
+        hp.check_arg_in_hparams("nheads", "causal")
+        self.nheads = hp.nheads
+        self.dim = dim
+        assert dim % self.nheads == 0
+        self.head_dim = dim // self.nheads
+        self.causal = hp.causal
+        bias = bool(hp.get("bias", None))
+        self.in_proj = Dense(dim, dim * 3, bias=bias, rngs=rngs)
+        self.out_proj = Dense(dim, dim, bias=bias, rngs=rngs)
+
+    def _qkv(self, xv: Array, rpe_pair=None, offset: int = 0):
+        qkv = self.in_proj(xv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if rpe_pair is not None:
+            rpe_id, rpe = rpe_pair
+            if rpe_id in ("SinCos", "Rotary") and rpe is not None:
+                if isinstance(rpe, Rotary):
+                    q, k = rpe(q, offset=offset), rpe(k, offset=offset)
+                else:
+                    q, k = rpe(q), rpe(k)
+        return q, k, v
+
+    def __call__(self, x: Masked,
+                 rpe_pair: Optional[Tuple[str, Any]] = None,
+                 rpe_bias: Optional[Array] = None,
+                 return_attn: bool = False,
+                 return_kv: bool = False,
+                 past_kv: Optional[Mapping[str, Array]] = None,
+                 ) -> Mapping[str, Any]:
+        outputs: dict = {}
+        q, k, v = self._qkv(x.value, rpe_pair)
+        kv_lengths = x.lengths
+        past_len = 0
+        if past_kv is not None:
+            k = jnp.concatenate([past_kv["key"], k], axis=1)
+            v = jnp.concatenate([past_kv["value"], v], axis=1)
+            past_len = past_kv["key"].shape[1]
+            kv_lengths = kv_lengths + past_len
+        tq, tk = q.shape[1], k.shape[1]
+        # Padding mask over keys.
+        k_pos = jnp.arange(tk)
+        pad = k_pos[None, :] < kv_lengths[:, None]          # (B, Tk)
+        mask = pad[:, None, None, :]                        # (B,1,1,Tk)
+        if self.causal:
+            q_pos = jnp.arange(past_len, past_len + tq)
+            causal = k_pos[None, :] <= q_pos[:, None]       # (Tq, Tk)
+            mask = mask & causal[None, None]
+        else:
+            mask = jnp.broadcast_to(mask,
+                                    (x.value.shape[0], 1, tq, tk))
+        bias = None
+        if rpe_pair is not None and rpe_pair[0] in ("ALiBi", "T5RPE"):
+            rpe = rpe_pair[1]
+            if isinstance(rpe, ALiBi):
+                bias = rpe.bias(jnp.arange(past_len, past_len + tq),
+                                k_pos)
+            else:
+                assert isinstance(rpe, T5RPE) and past_len == 0
+                bias = rpe(tq, tk)
+            outputs["rpe_bias"] = bias
+        if rpe_bias is not None:
+            bias = rpe_bias if bias is None else bias + rpe_bias
+        qh = _split_heads(q, self.nheads)
+        kh = _split_heads(k, self.nheads)
+        vh = _split_heads(v, self.nheads)
+        out, attn = attend(qh, kh, vh, bias, mask, return_attn=return_attn)
+        out = self.out_proj(_merge_heads(out))
+        outputs["output"] = Masked(out, x.lengths, 1).apply_mask()
+        if return_kv:
+            outputs["kv"] = {
+                "key": jax.lax.stop_gradient(k),
+                "value": jax.lax.stop_gradient(v),
+            }
+        if return_attn:
+            outputs["attn"] = jax.lax.stop_gradient(attn)
+        return outputs
+
+    # -- static-cache decode ----------------------------------------------
+    def init_cache(self, batch: int, max_len: int,
+                   dtype=None) -> LayerKVCache:
+        dtype = dtype or get_policy().compute_dtype
+        return LayerKVCache.zeros(batch, max_len, self.nheads,
+                                  self.head_dim, dtype)
+
+    def decode_step(self, xv: Array, cache: LayerKVCache, pos: Array,
+                    rpe_pair: Optional[Tuple[str, Any]] = None,
+                    ) -> Tuple[Array, LayerKVCache]:
+        """One AR step over a preallocated cache.
+
+        xv: (B, S, C) new frames whose absolute positions start at
+        ``pos``; returns attention output (B, S, C) and the updated
+        cache.  All shapes static => scan-compatible.
+        """
+        s = xv.shape[1]
+        q, k, v = self._qkv(xv, rpe_pair, offset=0)
+        # NOTE: Rotary offset would need `pos`; ALiBi below handles
+        # positions explicitly. SinCos/Rotary are unused in decode by the
+        # reference configs.
+        qh = _split_heads(q, self.nheads)
+        cache = cache.write(pos, _split_heads(k, self.nheads),
+                            _split_heads(v, self.nheads))
+        max_len = cache.k.shape[1]
+        k_pos = jnp.arange(max_len)
+        q_pos = pos + jnp.arange(s)
+        mask = (k_pos[None, :] <= q_pos[:, None])[None, None]  # (1,1,S,T)
+        mask = jnp.broadcast_to(mask, (xv.shape[0], 1, s, max_len))
+        bias = None
+        if rpe_pair is not None and rpe_pair[0] == "ALiBi":
+            bias = rpe_pair[1].bias(q_pos, k_pos)
+        out, _ = attend(qh, cache.k, cache.v, bias, mask)
+        return self.out_proj(_merge_heads(out)), cache
+
+
+class CrossAttention(nnx.Module):
+    """Encoder-memory attention (``attention.py:101-172``)."""
+
+    def __init__(self, dim: int, hp: Hparams, *, rngs: nnx.Rngs):
+        hp.check_arg_in_hparams("nheads")
+        self.nheads = hp.nheads
+        self.dim = dim
+        assert dim % self.nheads == 0
+        self.head_dim = dim // self.nheads
+        bias = bool(hp.get("bias", None))
+        self.q_proj = Dense(dim, dim, bias=bias, rngs=rngs)
+        self.kv_proj = Dense(dim, dim * 2, bias=bias, rngs=rngs)
+        self.out_proj = Dense(dim, dim, bias=bias, rngs=rngs)
+        self.rpe_id, self.rpe, self.rpe_target = None, None, None
+        if hp.has("rpe"):
+            self.rpe_id = hp.rpe.identifier
+            assert self.rpe_id in ("SinCos", "Rotary")
+            self.rpe = get_positional_encoding(self.rpe_id, hp.rpe,
+                                               dim, self.nheads, rngs=rngs)
+            self.rpe_target = hp.rpe.get("target", None)
+
+    def __call__(self, q: Masked, kv: Masked,
+                 return_attn: bool = False) -> Mapping[str, Any]:
+        q_lengths = q.lengths
+        qv = self.q_proj(q.value)
+        kvv = self.kv_proj(kv.value)
+        kk, vv = jnp.split(kvv, 2, axis=-1)
+        if self.rpe_id in ("SinCos", "Rotary"):
+            if self.rpe_target == "source":
+                qv = self.rpe(qv)
+            elif self.rpe_target == "memory":
+                kk = self.rpe(kk)
+            else:
+                qv, kk = self.rpe(qv), self.rpe(kk)
+        tq, tk = qv.shape[1], kk.shape[1]
+        k_pos = jnp.arange(tk)
+        pad = k_pos[None, :] < kv.lengths[:, None]
+        mask = jnp.broadcast_to(pad[:, None, None, :],
+                                (qv.shape[0], 1, tq, tk))
+        out, attn = attend(_split_heads(qv, self.nheads),
+                           _split_heads(kk, self.nheads),
+                           _split_heads(vv, self.nheads),
+                           None, mask, return_attn=return_attn)
+        out = self.out_proj(_merge_heads(out))
+        ret: dict = {"output": Masked(out, q_lengths, 1).apply_mask()}
+        if return_attn:
+            ret["attn"] = jax.lax.stop_gradient(attn)
+        return ret
