@@ -1,0 +1,221 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+from flax import nnx
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.nn.attention import SelfAttention, CrossAttention
+from vae_gslm_tpu.nn.positions import ALiBi, alibi_slopes, T5RPE, SinCos
+from vae_gslm_tpu.nn.transformer import TransformerLayerStack
+
+
+def rngs(seed=0):
+    return nnx.Rngs(seed)
+
+
+def masked(b=2, t=8, c=16, lengths=(8, 5), seed=0):
+    rng = np.random.RandomState(seed)
+    v = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    return Masked.from_lengths(v, jnp.asarray(lengths))
+
+
+def attn_hp(causal=True, nheads=4):
+    return Hparams(nheads=nheads, causal=causal)
+
+
+def test_alibi_slopes_match_reference():
+    # Power-of-2 closed form from the ALiBi paper.
+    s = alibi_slopes(8)
+    start = 2 ** (-(2 ** -(math.log2(8) - 3)))
+    expect = [start * start ** i for i in range(8)]
+    np.testing.assert_allclose(s, expect)
+    assert len(alibi_slopes(6)) == 6
+
+
+def test_alibi_bias_symmetric():
+    m = ALiBi(4, 32)
+    b = np.asarray(m(5, 5))
+    assert b.shape == (4, 5, 5)
+    np.testing.assert_allclose(b, np.transpose(b, (0, 2, 1)), atol=1e-7)
+    assert np.all(b <= 0)
+    np.testing.assert_allclose(b[:, 0, 0], 0.0)
+
+
+def test_self_attention_matches_torch_sdpa():
+    dim, nheads = 16, 4
+    m = SelfAttention(dim, attn_hp(), rngs=rngs())
+    x = masked(c=dim)
+    out = m(x)["output"]
+    # Torch reference with identical weights and dense causal+pad mask.
+    wq = np.asarray(m.in_proj.kernel[...])  # (dim, 3*dim)
+    wo = np.asarray(m.out_proj.kernel[...])
+    xv = torch.tensor(np.asarray(x.value))
+    qkv = xv @ torch.tensor(wq)
+    q, k, v = qkv.chunk(3, -1)
+    lengths = [8, 5]
+    b, t = 2, 8
+    mask = torch.zeros(b, 1, t, t)
+    for i, L in enumerate(lengths):
+        pad = torch.arange(t)[None, :] < L
+        am = pad & (torch.arange(t)[:, None] >= torch.arange(t)[None, :])
+        mask[i, 0] = torch.where(am, 0.0, float("-inf"))
+
+    def heads(z):
+        return z.view(b, t, nheads, dim // nheads).transpose(1, 2)
+
+    ref = F.scaled_dot_product_attention(heads(q), heads(k), heads(v),
+                                         attn_mask=mask)
+    ref = ref.transpose(1, 2).reshape(b, t, dim) @ torch.tensor(wo)
+    ref = ref.numpy()
+    mask_bt = np.arange(t)[None] < np.array(lengths)[:, None]
+    ref = ref * mask_bt[..., None]
+    np.testing.assert_allclose(np.asarray(out.value), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_self_attention_alibi_bias_reuse():
+    dim = 16
+    m = SelfAttention(dim, attn_hp(), rngs=rngs())
+    rpe = ALiBi(4, 32)
+    x = masked(c=dim)
+    out = m(x, rpe_pair=("ALiBi", rpe))
+    assert "rpe_bias" in out
+    out2 = m(x, rpe_pair=None, rpe_bias=out["rpe_bias"])
+    np.testing.assert_allclose(np.asarray(out["output"].value),
+                               np.asarray(out2["output"].value),
+                               atol=1e-6)
+
+
+def test_cross_attention_shapes():
+    dim = 16
+    m = CrossAttention(dim, Hparams(nheads=4), rngs=rngs())
+    q = masked(c=dim, t=4, lengths=(4, 3))
+    kv = masked(c=dim, t=8, lengths=(8, 5), seed=1)
+    out = m(q, kv, return_attn=True)
+    assert out["output"].value.shape == (2, 4, dim)
+    attn = np.asarray(out["attn"])
+    assert attn.shape == (2, 4, 4, 8)
+    # padded kv positions get ~zero attention
+    assert attn[1, :, :, 5:].max() < 1e-6
+
+
+def _stack_hp(num_layers=2, dim=16, causal=True, rpe=True):
+    d = dict(
+        num_layers=num_layers,
+        bias=False,
+        layer=dict(
+            ffd_size=32, dim=dim,
+            norm=dict(identifier="RMSNorm", eps=1e-6),
+            activation=dict(identifier="GELU"),
+            self_attn=dict(nheads=4, causal=causal),
+        ),
+    )
+    if rpe:
+        d["rpe"] = dict(identifier="ALiBi", maxpos=64)
+    return Hparams(**d)
+
+
+def test_transformer_stack_run():
+    hp = _stack_hp()
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    x = masked(c=8)
+    out = m.run(x, return_kv=True, return_attn=True)
+    assert out["output"].value.shape == (2, 8, 16)
+    assert len(out["kv"]) == 2
+    assert len(out["layers"]) == 3  # 2 layers + final norm
+    assert len(out["self_attn"]) == 2
+
+
+def test_kv_cache_decode_matches_full_run():
+    """AR decode with the static cache must bit-match the full forward."""
+    hp = _stack_hp()
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    b, t, c = 2, 8, 8
+    x = masked(b, t, c, lengths=(t, t))
+    full = np.asarray(m(x).value)  # (B, T, 16)
+
+    caches = m.init_cache(b, max_len=t, dtype=jnp.float32)
+    outs = []
+    # Prompt of 3 frames, then single steps.
+    h, caches = m.decode(x.value[:, :3], caches, jnp.asarray(0))
+    outs.append(h)
+    for i in range(3, t):
+        h, caches = m.decode(x.value[:, i:i + 1], caches, jnp.asarray(i))
+        outs.append(h)
+    dec = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(dec, full, rtol=1e-4, atol=1e-5)
+
+
+def test_kv_cache_decode_under_scan():
+    hp = _stack_hp()
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    b, t, c = 2, 6, 8
+    x = masked(b, t, c, lengths=(t, t))
+    full = np.asarray(m(x).value)
+    gd, state = nnx.split(m)
+
+    def step(carry, xt):
+        caches, pos = carry
+        mod = nnx.merge(gd, state)
+        h, caches = mod.decode(xt[:, None], caches, pos)
+        return (caches, pos + 1), h[:, 0]
+
+    caches = m.init_cache(b, max_len=t, dtype=jnp.float32)
+    xs = jnp.swapaxes(x.value, 0, 1)  # (T, B, C)
+    (_, _), ys = jax.lax.scan(step, (caches, jnp.asarray(0)), xs)
+    dec = np.swapaxes(np.asarray(ys), 0, 1)
+    np.testing.assert_allclose(dec, full, rtol=1e-4, atol=1e-5)
+
+
+def test_past_kv_dynamic_path_matches_full():
+    """Reference-style dynamic past_kv concat also matches."""
+    hp = _stack_hp()
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    b, t, c = 2, 6, 8
+    x = masked(b, t, c, lengths=(t, t))
+    full = np.asarray(m(x).value)
+    r1 = m.run(Masked.full(x.value[:, :4]), return_kv=True)
+    r2 = m.run(Masked.full(x.value[:, 4:]), past_kv=r1["kv"],
+               return_kv=True)
+    dec = np.concatenate([np.asarray(r1["output"].value),
+                          np.asarray(r2["output"].value)], axis=1)
+    np.testing.assert_allclose(dec, full, rtol=1e-4, atol=1e-5)
+
+
+def test_t5rpe_bucket_matches_hf():
+    m = T5RPE(4, bidirectional=True, num_buckets=32, max_distance=128,
+              rngs=rngs())
+    rel = jnp.arange(-20, 21)[None, :] * jnp.ones((1, 1), jnp.int32)
+    got = np.asarray(m._bucket(rel))
+    # HF implementation
+    relative_position = torch.arange(-20, 21)[None, :]
+    num_buckets, max_distance = 32, 128
+    relative_buckets = 0
+    num_buckets //= 2
+    relative_buckets += (relative_position > 0).to(torch.long) * num_buckets
+    rp = torch.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = rp < max_exact
+    rp_large = max_exact + (
+        torch.log(rp.float() / max_exact) / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)).to(torch.long)
+    rp_large = torch.min(rp_large, torch.full_like(rp_large,
+                                                   num_buckets - 1))
+    relative_buckets += torch.where(is_small, rp, rp_large)
+    np.testing.assert_array_equal(got[0], relative_buckets[0].numpy())
+
+
+def test_sincos_matches_reference():
+    m = SinCos(16, maxpos=32)
+    p = np.asarray(m.p[...])
+    pos, i = 3, 4  # even index -> sin
+    expect = math.sin(3 * math.exp(-(math.log(10000.0) / 16) * 4))
+    np.testing.assert_allclose(p[pos, i], expect, rtol=1e-5)
+    x = jnp.zeros((2, 5, 16))
+    y = np.asarray(m(x))
+    np.testing.assert_allclose(y[0], p[:5], atol=1e-6)

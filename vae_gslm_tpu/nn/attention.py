@@ -222,13 +222,14 @@ class CrossAttention(nnx.Module):
         self.q_proj = Dense(dim, dim, bias=bias, rngs=rngs)
         self.kv_proj = Dense(dim, dim * 2, bias=bias, rngs=rngs)
         self.out_proj = Dense(dim, dim, bias=bias, rngs=rngs)
-        self.rpe_id, self.rpe, self.rpe_target = None, None, None
         if hp.has("rpe"):
             self.rpe_id = hp.rpe.identifier
             assert self.rpe_id in ("SinCos", "Rotary")
             self.rpe = get_positional_encoding(self.rpe_id, hp.rpe,
                                                dim, self.nheads, rngs=rngs)
             self.rpe_target = hp.rpe.get("target", None)
+        else:
+            self.rpe_id, self.rpe, self.rpe_target = None, None, None
 
     def __call__(self, q: Masked, kv: Masked,
                  return_attn: bool = False) -> Mapping[str, Any]:

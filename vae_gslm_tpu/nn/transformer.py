@@ -1,0 +1,245 @@
+"""Transformer blocks and stack with shared RPE and KV-cache decode.
+
+Parity target: ``/root/reference/modules/transformer/layers.py``.
+Pre-LN (default) or post-LN: self-attn → optional cross-attn → FFN;
+the stack owns a single RPE whose bias is computed by the first layer
+and reused by the rest (``layers.py:163-180``), and ``run`` returns
+per-layer outputs / kv / attention like the reference.
+
+TPU-first: ``decode`` runs one AR step over a preallocated list of
+``LayerKVCache`` so the full sampling loop compiles into one
+``lax.scan`` — no dynamic concatenation, no per-step retrace.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..core.masked import Masked
+from ..hparams.hp import Hparams
+from .activations import get_activation
+from .attention import CrossAttention, LayerKVCache, SelfAttention
+from .linear import Dense
+from .norms import get_norm
+from .positions import get_positional_encoding
+
+Array = jax.Array
+
+
+class TransformerLayer(nnx.Module):
+    """One block (``transformer/layers.py:14-93``)."""
+
+    def __init__(self, hp: Hparams, *, rngs: nnx.Rngs):
+        hp.check_arg_in_hparams("ffd_size", "norm", "activation", "dim",
+                                "self_attn")
+        self.preln = hp.get("preln", True)
+        self.self_attn = SelfAttention(hp.dim, hp.self_attn, rngs=rngs)
+        self.cross_attn = None
+        if hp.has("cross_attn"):
+            self.cross_attn = CrossAttention(hp.dim, hp.cross_attn,
+                                             rngs=rngs)
+            self.norm2 = get_norm(hp.dim, hp.norm, rngs=rngs)
+        bias = hp.get("bias", True)
+        self.linear1 = Dense(hp.dim, hp.ffd_size, bias=bias, rngs=rngs)
+        self.linear2 = Dense(hp.ffd_size, hp.dim, bias=bias, rngs=rngs)
+        self.norm1 = get_norm(hp.dim, hp.norm, rngs=rngs)
+        self.norm3 = get_norm(hp.dim, hp.norm, rngs=rngs)
+        self.activation = get_activation(hp.activation)
+
+    def _ffn(self, x: Array) -> Array:
+        return self.linear2(self.activation(self.linear1(x)))
+
+    def __call__(self, tgt: Masked,
+                 memory: Optional[Masked] = None,
+                 rpe_pair: Optional[Tuple[str, Any]] = None,
+                 rpe_bias: Optional[Array] = None,
+                 past_kv: Optional[Mapping] = None,
+                 return_attn: bool = False,
+                 return_kv: bool = False) -> Mapping[str, Any]:
+        output: dict = {}
+        lengths = tgt.lengths
+        if self.preln:
+            n_tgt = Masked(self.norm1(tgt.value), lengths, 1).apply_mask()
+        else:
+            n_tgt = tgt
+        sa = self.self_attn(n_tgt, rpe_pair=rpe_pair, rpe_bias=rpe_bias,
+                            past_kv=past_kv, return_attn=return_attn,
+                            return_kv=return_kv)
+        if "rpe_bias" in sa:
+            output["rpe_bias"] = sa["rpe_bias"]
+        x = tgt.value + sa["output"].value
+        if not self.preln:
+            x = self.norm1(x)
+        if self.cross_attn is not None:
+            n_x = self.norm2(x) if self.preln else x
+            ca = self.cross_attn(Masked(n_x, lengths, 1).apply_mask(),
+                                 memory, return_attn=return_attn)
+            x = x + ca["output"].value
+            if not self.preln:
+                x = self.norm2(x)
+        n_x = self.norm3(x) if self.preln else x
+        x = x + self._ffn(n_x)
+        if not self.preln:
+            x = self.norm3(x)
+        output["output"] = Masked(x, lengths, 1).apply_mask()
+        if return_attn:
+            output["self_attn"] = sa["attn"]
+            if self.cross_attn is not None:
+                output["cross_attn"] = ca["attn"]
+        if return_kv:
+            output["kv"] = sa["kv"]
+        return output
+
+    def decode(self, xv: Array, cache: LayerKVCache, pos: Array,
+               rpe_pair=None) -> Tuple[Array, LayerKVCache]:
+        """Pre/post-LN step over the static cache (no masking needed:
+        decode positions are always valid)."""
+        if self.preln:
+            h, cache = self.self_attn.decode_step(
+                self.norm1(xv), cache, pos, rpe_pair=rpe_pair)
+            x = xv + h
+            x = x + self._ffn(self.norm3(x))
+        else:
+            h, cache = self.self_attn.decode_step(xv, cache, pos,
+                                                  rpe_pair=rpe_pair)
+            x = self.norm1(xv + h)
+            x = self.norm3(x + self._ffn(x))
+        return x, cache
+
+
+class TransformerLayerStack(nnx.Module):
+    """Layer stack with optional in/out/memory projections and shared RPE
+    (``transformer/layers.py:96-204``)."""
+
+    def __init__(self, hp: Hparams, input_dim: Optional[int] = None,
+                 output_dim: Optional[int] = None,
+                 memory_dim: Optional[int] = None, *, rngs: nnx.Rngs):
+        hp.check_arg_in_hparams("num_layers", "layer")
+        self.hp = hp
+        self.layers = nnx.List([TransformerLayer(hp.layer, rngs=rngs)
+                                for _ in range(hp.num_layers)])
+        bias = hp.get("bias", True)
+        self.linear = (Dense(input_dim, hp.layer.dim, bias=bias, rngs=rngs)
+                       if input_dim is not None else None)
+        self.is_cross_attn = hp.layer.has("cross_attn")
+        self.memory_linear = (
+            Dense(memory_dim, hp.layer.dim, bias=bias, rngs=rngs)
+            if (self.is_cross_attn and memory_dim is not None) else None)
+        self.out = (Dense(hp.layer.dim, output_dim, bias=bias, rngs=rngs)
+                    if output_dim is not None else None)
+        self.final_norm = (get_norm(hp.layer.dim, hp.layer.norm, rngs=rngs)
+                           if hp.get("final_ln", True) else None)
+        self.first_norm = (get_norm(hp.layer.dim, hp.layer.norm, rngs=rngs)
+                           if hp.get("first_ln", False) else None)
+        if hp.get("rpe", False):
+            self.rpe_id = hp.rpe.identifier
+            self.rpe = get_positional_encoding(
+                self.rpe_id, hp.rpe, hp.layer.dim,
+                hp.layer.self_attn.nheads, rngs=rngs)
+        else:
+            self.rpe_id, self.rpe = None, None
+
+    @property
+    def dim(self) -> int:
+        return self.hp.layer.dim
+
+    @property
+    def num_layers(self) -> int:
+        return self.hp.num_layers
+
+    def _project_in(self, tgt: Masked,
+                    memory: Optional[Masked]) -> Tuple[Masked,
+                                                       Optional[Masked]]:
+        out = tgt
+        if self.linear is not None:
+            out = Masked(self.linear(out.value), out.lengths,
+                         1).apply_mask()
+        if self.first_norm is not None:
+            out = Masked(self.first_norm(out.value), out.lengths,
+                         1).apply_mask()
+        if self.memory_linear is not None and memory is not None:
+            memory = Masked(self.memory_linear(memory.value),
+                            memory.lengths, 1).apply_mask()
+        return out, memory
+
+    def run(self, tgt: Masked, memory: Optional[Masked] = None,
+            past_kv: Optional[List] = None,
+            return_attn: bool = False,
+            return_kv: bool = False) -> Mapping[str, Any]:
+        outputs: dict = {"output": []}
+        if return_attn:
+            outputs["self_attn"] = []
+            if self.is_cross_attn:
+                outputs["cross_attn"] = []
+        if return_kv:
+            outputs["kv"] = []
+        if past_kv is None:
+            past_kv = [None] * len(self.layers)
+        output, memory = self._project_in(tgt, memory)
+        rpe_pair = (self.rpe_id, self.rpe)
+        rpe_bias = None
+        output_layers = []
+        for i, mod in enumerate(self.layers):
+            res = mod(output, memory, rpe_pair=rpe_pair, rpe_bias=rpe_bias,
+                      past_kv=past_kv[i], return_attn=return_attn,
+                      return_kv=return_kv)
+            if "rpe_bias" in res:
+                rpe_pair = None
+                rpe_bias = res["rpe_bias"]
+            if return_attn:
+                outputs["self_attn"].append(res["self_attn"])
+                if self.is_cross_attn:
+                    outputs["cross_attn"].append(res["cross_attn"])
+            if return_kv:
+                outputs["kv"].append(res["kv"])
+            output = res["output"]
+            output_layers.append(output)
+        if self.final_norm is not None:
+            output = Masked(self.final_norm(output.value), output.lengths,
+                            1)
+            output_layers.append(output)
+        if self.out is not None:
+            output = Masked(self.out(output.value), output.lengths,
+                            1).apply_mask()
+        outputs["output"] = output
+        outputs["layers"] = output_layers
+        return outputs
+
+    def __call__(self, tgt: Masked,
+                 memory: Optional[Masked] = None) -> Masked:
+        return self.run(tgt, memory=memory)["output"]
+
+    # -- static-cache decode ----------------------------------------------
+    def init_cache(self, batch: int, max_len: int,
+                   dtype=None) -> List[LayerKVCache]:
+        return [layer.self_attn.init_cache(batch, max_len, dtype)
+                for layer in self.layers]
+
+    def decode(self, xv: Array, caches: List[LayerKVCache], pos: Array
+               ) -> Tuple[Array, List[LayerKVCache]]:
+        """One AR step: xv (B, S, C) raw input frames at absolute
+        positions [pos, pos+S); returns final hidden (B, S, C) and
+        updated caches.  Cross-attention decode is handled by LVTTS via
+        full `run`; this path is self-attention only (speech LM)."""
+        if self.linear is not None:
+            xv = self.linear(xv)
+        if self.first_norm is not None:
+            xv = self.first_norm(xv)
+        rpe_pair = (self.rpe_id, self.rpe) if self.rpe is not None else None
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            xv, cache = layer.decode(xv, cache, pos, rpe_pair=rpe_pair)
+            new_caches.append(cache)
+        if self.final_norm is not None:
+            xv = self.final_norm(xv)
+        if self.out is not None:
+            xv = self.out(xv)
+        return xv, new_caches
+
+    def set_uniform(self, std: float, *, key: jax.Array) -> None:
+        if self.rpe_id == "T5RPE":
+            self.rpe.set_uniform(std, key=key)
