@@ -1,0 +1,241 @@
+import os
+
+import numpy as np
+import pytest
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.data import audio as audio_lib
+from vae_gslm_tpu.data import sampler as sampler_lib
+from vae_gslm_tpu.data.dataset import (DiscreteTokenDataset, MelSpecDataset,
+                                       StandardDataset, load_dataset,
+                                       pad_to_max_length)
+from vae_gslm_tpu.data.loader import DataLoader
+from vae_gslm_tpu.data.symbols import Symbols
+from vae_gslm_tpu.hparams.hp import Hparams
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthesized wav corpus + metadata with tokens."""
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(6):
+        dur = 1.0 + 0.5 * i  # 1.0 .. 3.5 s
+        n = int(SR * dur)
+        wave = (0.1 * np.sin(2 * np.pi * 220 * (i + 1)
+                             * np.arange(n) / SR)).astype(np.float32)
+        name = f"utt{i}.wav"
+        audio_lib.save_wav(str(root / name), wave, SR)
+        ntok = int(dur * 50)
+        toks = rng.randint(0, 200, size=ntok)
+        lines.append(f"{name}|{' '.join(map(str, toks))}")
+    meta = root / "tokens.txt"
+    meta.write_text("\n".join(lines) + "\n")
+    meta_text = root / "meta_text.txt"
+    meta_text.write_text("\n".join(
+        f"utt{i}.wav|dummy|hello world {i}" for i in range(6)) + "\n")
+    return root
+
+
+MEL_HP = Hparams.from_yaml("""
+sample_rate: 16000
+n_fft: 1025
+win_length: 1024
+hop_length: 320
+n_mels: 80
+f_min: 0
+f_max: 8000
+power: 1.0
+log_scale: true
+""")
+
+
+def test_symbols_roundtrip(tmp_path):
+    s = Symbols({"a", "b", "c"}, " ")
+    enc = s.encode("a c d")
+    assert enc[0] == s.sos_idx
+    assert enc[-1] == s.unk_idx  # d unknown
+    assert s.decode(enc) == "a c <unk>"
+    p = tmp_path / "sym.json"
+    s.save(str(p))
+    s2 = Symbols.load(str(p))
+    assert s2.mapping == s.mapping
+
+
+def test_load_dataset_filters(corpus):
+    files, _, _, lengths, tokens = load_dataset(
+        str(corpus / "tokens.txt"), with_text=False,
+        min_audio_length=1.4, bits_per_second=SR * 2,
+        wavdir=str(corpus), with_tokens=True)
+    assert 0 < len(files) < 6
+    assert len(tokens) == len(files)
+    assert all(l >= 1.4 for l in lengths)
+
+
+def test_load_dataset_with_text(corpus):
+    files, texts, symbols, _, _ = load_dataset(
+        str(corpus / "meta_text.txt"), with_text=True)
+    assert len(files) == 6 and len(texts) == 6
+    assert "hello" in symbols
+
+
+def test_pad_to_max_length_and_post_pad():
+    batch = [{"x": np.ones((3, 2), np.float32)},
+             {"x": np.ones((5, 2), np.float32)}]
+    out = pad_to_max_length(batch)
+    assert isinstance(out["x"], Masked)
+    assert out["x"].value.shape == (2, 5, 2)
+    assert np.asarray(out["x"].lengths).tolist() == [3, 5]
+    out = pad_to_max_length(batch, {"x": 4})
+    assert out["x"].value.shape == (2, 4, 2)
+    assert np.asarray(out["x"].lengths).tolist() == [3, 4]
+
+
+def test_standard_dataset_pad_multiple(corpus):
+    hp = Hparams(with_text=False, path=str(corpus / "tokens.txt"),
+                 wavdir=str(corpus), sample_rate=SR,
+                 pad={"multiple_of": 320})
+    ds = StandardDataset(hp)
+    item = ds[0]
+    assert len(item["audio"]) % 320 == 0
+
+
+def test_melspec_dataset_crops_and_rescale(corpus):
+    hp = Hparams(with_text=False, path=str(corpus / "tokens.txt"),
+                 wavdir=str(corpus), sample_rate=SR,
+                 random_crop_mel_utt={"min_seg_sec": 0.5,
+                                      "max_seg_sec": 1.0})
+    rescale = Hparams(mean=-1.5, std=2.0)
+    ds = MelSpecDataset(hp, MEL_HP, rescale)
+    item = ds[2]
+    assert item["mel"].shape[1] == 80
+    assert 25 <= len(item["cropped_mel_utt"]) <= 50
+    # rescale applied
+    raw = MelSpecDataset(
+        Hparams(with_text=False, path=str(corpus / "tokens.txt"),
+                wavdir=str(corpus), sample_rate=SR), MEL_HP)[2]["mel"]
+    np.testing.assert_allclose(item["mel"], (raw + 1.5) / 2.0, atol=1e-5)
+
+
+def test_discrete_token_dataset_crop_and_dedup(corpus):
+    hp = Hparams(with_text=False, with_tokens=True,
+                 path=str(corpus / "tokens.txt"), wavdir=str(corpus),
+                 sample_rate=SR, token_segment_size=40,
+                 post_pad={"tokens": {"num_tokens": 40},
+                           "mel": {"length": 0.8}})
+    hub = Hparams(sample_rate=50, deduplicate=False)
+    ds = DiscreteTokenDataset(hp, MEL_HP, hub)
+    item = ds[4]
+    assert len(item["tokens"]) == 40
+    assert len(item["mel"]) == 40  # 0.8s * 50fps
+    batch = ds.seq_collate([ds[i] for i in range(3)])
+    assert batch["tokens"].value.shape == (3, 40)
+    assert batch["mel"].value.shape == (3, 40, 80)
+
+
+def test_dedup_tokens(corpus):
+    hp = Hparams(with_text=False, with_tokens=True,
+                 path=str(corpus / "tokens.txt"), wavdir=str(corpus),
+                 sample_rate=SR)
+    hub = Hparams(sample_rate=50, deduplicate=True)
+    ds = DiscreteTokenDataset(hp, MEL_HP, hub)
+    item = ds[0]
+    t = item["tokens"]
+    d = item["dedup_tokens"]
+    assert np.all(d[item["inverse_indices"]] == t)
+    assert item["counts"].sum() == len(t)
+    assert np.all(d[1:] != d[:-1])
+
+
+def test_loader_prefetch(corpus):
+    hp = Hparams(with_text=False, with_tokens=True,
+                 path=str(corpus / "tokens.txt"), wavdir=str(corpus),
+                 sample_rate=SR)
+    hub = Hparams(sample_rate=50, deduplicate=False)
+    ds = DiscreteTokenDataset(hp, MEL_HP, hub)
+    s = sampler_lib.standard_sampler(len(ds), 2, shuffle=True,
+                                     drop_last=True, seed=0)
+    dl = DataLoader(ds, s, num_workers=2, prefetch=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert all("mel" in b and "tokens" in b for b in batches)
+
+
+# ------------------------------------------------------------ samplers
+def test_distributed_sampler_partitions():
+    seen = []
+    for rank in range(4):
+        s = sampler_lib.DistributedSampler(103, 4, world_size=4, rank=rank,
+                                           seed=7)
+        s.set_epoch(3)
+        for b in s:
+            assert len(b) == 4
+            seen += b
+    assert len(seen) == len(set(seen))  # disjoint
+
+
+def test_bucket_sampler_groups_similar_lengths():
+    rng = np.random.RandomState(0)
+    lengths = rng.uniform(1, 20, size=200).tolist()
+    s = sampler_lib.SingleRandomBucketSampler(10, lengths, batch_size=8,
+                                              seed=0)
+    batches = list(s)
+    # padding waste should be bounded vs random batching
+    waste = np.mean([
+        max(lengths[i] for i in b) * len(b) - sum(lengths[i] for i in b)
+        for b in batches])
+    rand_batches = [list(range(i, i + 8)) for i in range(0, 200 - 8, 8)]
+    rand_waste = np.mean([
+        max(lengths[i] for i in b) * len(b) - sum(lengths[i] for i in b)
+        for b in rand_batches])
+    assert waste < rand_waste
+
+
+def test_distributed_bucket_sampler_deterministic_and_disjoint():
+    lengths = list(np.random.RandomState(1).uniform(1, 20, size=300))
+    all_batches = {}
+    for rank in range(2):
+        s = sampler_lib.DistributedRandomBucketSampler(
+            10, lengths, world_size=2, rank=rank, batch_size=4)
+        s.set_epoch(5)
+        all_batches[rank] = [i for b in s for i in b]
+    assert not (set(all_batches[0]) & set(all_batches[1]))
+    # deterministic item->rank assignment across re-iterations
+    s = sampler_lib.DistributedRandomBucketSampler(
+        10, lengths, world_size=2, rank=0, batch_size=4)
+    s.set_epoch(5)
+    again = sorted(i for b in s for i in b)
+    assert sorted(all_batches[0]) == again
+
+
+def test_batch_length_budget():
+    lengths = [1.0, 2.0, 3.0, 10.0, 1.0, 1.5, 2.5, 9.0]
+    s = sampler_lib.SingleRandomBucketSampler(2, lengths,
+                                              batch_length=12.0, seed=0)
+    for b in s:
+        assert max(lengths[i] for i in b) * len(b) <= 12.0 + 10.0
+
+
+def test_concat_length_sampler():
+    lengths = [2.0] * 50
+    s = sampler_lib.SingleConcatLengthSampler(4, 2.0, lengths, seed=0)
+    batches = list(s)
+    assert all(sum(lengths[i] for i in b) >= 8.0 for b in batches)
+
+
+def test_resample_shapes():
+    x = np.random.RandomState(0).randn(44100).astype(np.float32)
+    y = audio_lib.resample(x, 44100, 16000)
+    assert abs(len(y) - 16000) <= 2
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (0.5 * np.sin(np.linspace(0, 100, 8000))).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    audio_lib.save_wav(p, x, SR)
+    y, sr = audio_lib.load_audio(p)
+    assert sr == SR
+    np.testing.assert_allclose(y, x, atol=1e-3)
