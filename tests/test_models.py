@@ -174,7 +174,14 @@ def test_lvtr_decode_shapes():
     m = _make_model()
     x = _batch(2, 8)
     enc = m.encode(x, jax.random.PRNGKey(0))
-    mel = m.decode(enc, jax.random.PRNGKey(1))
+    # utterance-conditioned model: decode requires u_c
+    utt = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(2).randn(2, 8, N_MELS),
+                    jnp.float32), jnp.asarray([8, 8]))
+    u_c = m.encode_utterance(
+        Masked.full(jnp.concatenate(
+            [jnp.zeros((2, 8, 1)), utt.value], -1)))
+    mel = m.decode(enc, jax.random.PRNGKey(1), u_c=u_c)
     assert mel.value.shape == (2, 8, N_MELS)
     assert np.isfinite(np.asarray(mel.value)).all()
 

@@ -1,0 +1,150 @@
+"""Autoregressive continuation samplers, compiled to a single program.
+
+Parity target: ``/root/reference/trainers/speech/sampler.py``
+(``ARTRSampler``): encode the prompt, prefill with a pushed random
+initial state, loop ``length`` AR steps threading KV, concatenate and
+diffusion-decode.
+
+TPU-first: the reference's Python loop with dynamically growing KV
+becomes (prefill step) + ``lax.scan`` over a **static** KV cache — the
+entire prompt→continuation→mel pipeline jits into one XLA program per
+(batch, prompt, length) shape, with per-step PRNG splits.  A DiscreteAR
+variant covers the token-LM baseline.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...core.masked import Masked
+
+Array = jax.Array
+
+
+class ARTRSampler:
+    """Sampler for LVTR-family models."""
+
+    def __init__(self, model):
+        self.model = model
+        self.has_utterance = getattr(model, "utterance_net", None) \
+            is not None
+        self.use_tokens = getattr(model, "use_tokens", False)
+        self._compiled = {}
+
+    def _build(self, length: int, temperature: float,
+               token_temperature: float, truncated_norm,
+               encoder_temperature: float):
+        graphdef, state = nnx.split(self.model)
+        has_utt = self.has_utterance
+        use_tokens = self.use_tokens
+
+        @jax.jit
+        def run(state, prior: Masked, key: Array):
+            model = nnx.merge(graphdef, state)
+            (k_enc, k_init, k_pre, k_dec,
+             k_scan) = jax.random.split(key, 5)
+            u_c = model.encode_utterance(prior) if has_utt else None
+            enc = model.encode(prior, k_enc,
+                               temperature=encoder_temperature)
+            b, tp = enc.value.shape[0], enc.value.shape[1]
+            caches = model.init_cache(b, tp + 1 + length,
+                                      dtype=jnp.float32)
+            step_kw = dict(temperature=temperature,
+                           token_temperature=token_temperature,
+                           truncated_norm=truncated_norm)
+            out, caches = model.step(enc.value, caches, jnp.asarray(0),
+                                     k_pre, push_init_state=True,
+                                     init_key=k_init, **step_kw)
+            frame = out[:, -1:]
+
+            def body(carry, k_i):
+                frame, caches, pos = carry
+                nxt, caches = model.step(frame, caches, pos, k_i,
+                                         **step_kw)
+                return (nxt, caches, pos + 1), frame[:, 0]
+
+            keys = jax.random.split(k_scan, length)
+            init_pos = jnp.asarray(tp + 1)
+            (_, _, _), frames = jax.lax.scan(
+                body, (frame, caches, init_pos), keys)
+            frames = jnp.swapaxes(frames, 0, 1)       # (B, length, C)
+            full = jnp.concatenate([enc.value, frames], axis=1)
+            full_m = Masked.from_lengths(
+                full, enc.lengths + length)
+            mel = model.decode(full_m, k_dec, u_c=u_c) if has_utt else \
+                model.decode(full_m, k_dec)
+            return {"output": mel, "frames": full_m}
+
+        return run
+
+    def __call__(self, length: int, prior: Masked, key: Array,
+                 temperature: float = 1.0,
+                 token_temperature: float = 1.0,
+                 truncated_norm: Optional[Tuple[float, float]] = None,
+                 encoder_temperature: float = 1.0,
+                 ) -> Dict[str, Any]:
+        sig = (length, temperature, token_temperature,
+               tuple(truncated_norm) if truncated_norm else None,
+               encoder_temperature)
+        if sig not in self._compiled:
+            self._compiled[sig] = self._build(
+                length, temperature, token_temperature, truncated_norm,
+                encoder_temperature)
+        _, state = nnx.split(self.model)
+        return self._compiled[sig](state, prior, key)
+
+
+class DiscreteARSampler:
+    """Sampler for the token-LM baseline (``inference/speech/hubert.py``
+    path): SOS prefill + scan, decode via the frozen codec."""
+
+    def __init__(self, model):
+        self.model = model
+        self._compiled = {}
+
+    def _build(self, length: int, temperature: float):
+        graphdef, state = nnx.split(self.model)
+        has_f0 = self.model.f0 is not None
+
+        @jax.jit
+        def run(state, prior_tokens: Masked, key: Array):
+            model = nnx.merge(graphdef, state)
+            k_pre, k_scan = jax.random.split(key)
+            ids = prior_tokens.value.astype(jnp.int32)
+            b, tp = ids.shape[0], ids.shape[1]
+            sos = model.initial_state(b)
+            inp = jnp.concatenate([sos[:, :1].reshape(b, 1), ids],
+                                  axis=1) if not has_f0 else None
+            caches = model.init_cache(b, tp + 1 + length,
+                                      dtype=jnp.float32)
+            out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
+                                     temperature=temperature)
+            frame = out[:, -1:]
+
+            def body(carry, k_i):
+                frame, caches, pos = carry
+                nxt, caches = model.step(frame, caches, pos, k_i,
+                                         temperature=temperature)
+                return (nxt, caches, pos + 1), frame[:, 0]
+
+            keys = jax.random.split(k_scan, length)
+            (_, _, _), frames = jax.lax.scan(
+                body, (frame, caches, jnp.asarray(tp + 1)), keys)
+            frames = jnp.swapaxes(frames, 0, 1)
+            full = jnp.concatenate([ids, frames], axis=1)
+            return Masked.from_lengths(full,
+                                       prior_tokens.lengths + length)
+
+        return run
+
+    def __call__(self, length: int, prior_tokens: Masked, key: Array,
+                 temperature: float = 1.0) -> Masked:
+        sig = (length, temperature)
+        if sig not in self._compiled:
+            self._compiled[sig] = self._build(length, temperature)
+        _, state = nnx.split(self.model)
+        return self._compiled[sig](state, prior_tokens, key)

@@ -142,7 +142,7 @@ class GaussianDiffusion1D(nnx.Module):
         return self.sampling_timesteps < self.num_timesteps
 
     def _buf(self, name: str) -> Array:
-        return self.schedule[...][name]
+        return self.schedule.value[name]
 
     # -- conversions -------------------------------------------------------
     def predict_start_from_noise(self, x_t: Array, t: Array,

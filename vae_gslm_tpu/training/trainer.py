@@ -1,0 +1,223 @@
+"""Base trainer: data wiring, init, the jitted-step training loop.
+
+Parity target: ``/root/reference/training_lib/trainer.py`` (dataloader
+factory with standard/bucket/concat samplers, grad-accum count,
+``init_weights``) and the Lightning loop semantics the reference relies
+on (step counting per optimizer step, ``val_check_interval``, dual
+checkpoint tracks).
+
+TPU-first: instead of Lightning + DDP, each task trainer exposes a pure
+``train_step(params, rest, opt_state, batch, step, key)`` that the base
+loop jits once over a 1-D ``data`` mesh — params replicated, batch
+sharded, gradient all-reduce inserted by XLA SPMD.  Gradient
+accumulation stacks micro-batches on a leading axis and `lax.scan`s over
+them, **summing** gradients (the reference sums too: its losses are
+masked sums accumulated via repeated backward).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from ..data.loader import DataLoader
+from ..data.sampler import (concat_length_sampler, random_bucket_sampler,
+                            standard_sampler)
+from ..hparams.hp import Hparams
+from ..nn.attention import CrossAttention, SelfAttention
+from ..nn.linear import Dense, Embedding
+from ..nn.transformer import TransformerLayerStack
+from ..parallel import mesh as mesh_lib
+from .logging import ExperimentLogger
+from .optimizer import create_optimizer
+
+log = logging.getLogger(__name__)
+
+
+def init_weights(model: nnx.Module, init_std: float = 1.0,
+                 seed: int = 0) -> None:
+    """Reference init (``training_lib/trainer.py:113-125``): zero all
+    biases, unit norm scales (our norms already init so), then
+    per-module custom init — attention projections uniform
+    ±init_std/sqrt(dim/3), embeddings uniform ±1, T5 bias tables."""
+    key = jax.random.PRNGKey(seed)
+    i = 0
+    for path, node in nnx.iter_graph(model):
+        if isinstance(node, Dense) and node.bias is not None:
+            node.bias[...] = jnp.zeros_like(node.bias[...])
+        if isinstance(node, SelfAttention):
+            std = init_std / np.sqrt(node.dim / 3)
+            for mod in (node.in_proj, node.out_proj):
+                i += 1
+                mod.set_uniform(std, key=jax.random.fold_in(key, i))
+        if isinstance(node, CrossAttention):
+            std = init_std / np.sqrt(node.dim / 3)
+            for mod in (node.q_proj, node.kv_proj, node.out_proj):
+                i += 1
+                mod.set_uniform(std, key=jax.random.fold_in(key, i))
+        if isinstance(node, Embedding):
+            i += 1
+            node.table[...] = jax.random.uniform(
+                jax.random.fold_in(key, i), node.table[...].shape,
+                jnp.float32, -1.0, 1.0)
+        if isinstance(node, TransformerLayerStack):
+            i += 1
+            node.set_uniform(init_std / np.sqrt(node.dim / 3),
+                             key=jax.random.fold_in(key, i))
+
+
+def stack_batches(batches) -> Any:
+    """Stack micro-batch pytrees on a new leading axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+class BaseTrainer:
+    """Owns the mesh, data, optimizer, logger and the step loop."""
+
+    def __init__(self, hp: Hparams):
+        hp.check_arg_in_hparams("model", "data")
+        self.hp = hp
+        self.gradient_update_step = 1
+        if hp.has("training") and hp.training.has("gradient_accumulation"):
+            self.gradient_update_step = hp.training.gradient_accumulation
+        self.mesh = mesh_lib.create_mesh()
+        self.global_step = 0
+        self.logger: Optional[ExperimentLogger] = None
+
+    # ---------------------------------------------------------------- data
+    def _world(self):
+        distributed = self.hp.trainer.get("distributed", False)
+        if distributed:
+            return mesh_lib.process_count(), mesh_lib.process_index()
+        return None, None
+
+    def get_dataloader(self, hp: Hparams, dataset) -> DataLoader:
+        """Sampler dispatch (``training_lib/trainer.py:40-111``)."""
+        hp.check_arg_in_hparams("num_workers", "sampler")
+        world_size, rank = self._world()
+        distributed = self.hp.trainer.get("distributed", False)
+        styp = hp.sampler.type
+        if styp == "standard":
+            hp.check_arg_in_hparams("batch_size")
+            sampler = standard_sampler(
+                len(dataset), hp.batch_size,
+                shuffle=hp.sampler.shuffle, distributed=distributed,
+                world_size=world_size, rank=rank,
+                drop_last=hp.sampler.get("drop_last", True))
+        elif styp == "bucket":
+            hp.sampler.check_arg_in_hparams("num_buckets")
+            sampler = random_bucket_sampler(
+                hp.sampler.num_buckets, dataset.lengths,
+                hp.get("batch_size", None), hp.get("batch_length", None),
+                hp.sampler.get("drop_last", False), distributed,
+                world_size=world_size, rank=rank)
+        elif styp == "concat":
+            hp.check_arg_in_hparams("batch_size", "length")
+            sampler = concat_length_sampler(
+                hp.batch_size, hp.length, dataset.lengths, distributed,
+                world_size=world_size, rank=rank)
+        else:
+            raise NotImplementedError(styp)
+        return DataLoader(dataset, sampler,
+                          num_workers=hp.num_workers)
+
+    # --------------------------------------------------------------- hooks
+    def train_dataloader(self) -> DataLoader:
+        raise NotImplementedError
+
+    def val_dataloader(self) -> Optional[DataLoader]:
+        return None
+
+    def train_metrics_tags(self) -> Dict[str, str]:
+        return {}
+
+    def validation_run(self, step: int) -> None:
+        pass
+
+    def save_checkpoint(self, path: str) -> None:
+        raise NotImplementedError
+
+    def save_full_state(self, path: str) -> None:
+        pass
+
+    def step_fn(self):
+        """Return the pure jitted step callable + its state refs."""
+        raise NotImplementedError
+
+    def resume(self, path: str) -> None:
+        """Resume from a full-state dir (orbax) or compact npz."""
+        raise NotImplementedError
+
+    # ---------------------------------------------------------------- loop
+    def fit(self, logger: ExperimentLogger,
+            max_steps: Optional[int] = None,
+            val_check_interval: Optional[int] = None,
+            log_every: int = 50,
+            profile_dir: Optional[str] = None) -> None:
+        self.logger = logger
+        hp_tr = self.hp.trainer
+        total_steps = max_steps or hp_tr.total_steps
+        val_interval = val_check_interval or hp_tr.get(
+            "val_check_interval", None)
+        loader = self.train_dataloader()
+        accum = self.gradient_update_step
+        t0 = time.time()
+        profiled = False
+        while self.global_step < total_steps:
+            micro: list = []
+            for batch in loader:
+                micro.append(batch)
+                if len(micro) < accum:
+                    continue
+                stacked = stack_batches(micro)
+                micro = []
+                if profile_dir and not profiled \
+                        and self.global_step == 10:
+                    jax.profiler.start_trace(profile_dir)
+                metrics = self.run_step(stacked)
+                if profile_dir and not profiled \
+                        and self.global_step == 12:
+                    jax.profiler.stop_trace()
+                    profiled = True
+                self.global_step += 1
+                if self.global_step % log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["steps_per_sec"] = log_every / (
+                        time.time() - t0)
+                    t0 = time.time()
+                    logger.log_scalars(
+                        {f"train/{k}": v for k, v in metrics.items()},
+                        self.global_step)
+                if val_interval and \
+                        self.global_step % val_interval == 0:
+                    self.validation_run(self.global_step)
+                    self.checkpoint()
+                if self.global_step >= total_steps:
+                    break
+        self.validation_run(self.global_step)
+        self.checkpoint()
+
+    def checkpoint(self) -> None:
+        if self.logger is None:
+            return
+        path = os.path.join(
+            self.logger.ckpt_path,
+            f"step={self.global_step}-cpt.npz")
+        self.save_checkpoint(path)
+        last = os.path.join(self.logger.ckpt_path, "last-cpt.npz")
+        self.save_checkpoint(last)
+        self.save_full_state(
+            os.path.join(self.logger.ckpt_path, "full_state"))
+
+    def run_step(self, stacked_batch) -> Dict[str, Any]:
+        raise NotImplementedError
