@@ -1,0 +1,99 @@
+"""Headline benchmark: 3 s-prompt → 10 s-continuation RTF per chip.
+
+Runs the full flagship pipeline on one TPU chip — LVTR encode, KV-cache
+prefill, 500-step AR scan (16L/d1024 trunk + flow reverse + token
+sampling), 100-step DDIM diffusion decode over all 650 frames, HiFi-GAN
+vocode to 16 kHz — and reports real-time factor per chip
+(= generated audio seconds / wall seconds).  Baseline (BASELINE.md):
+>= 50x real-time per v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vae_gslm_tpu.core import precision
+    from vae_gslm_tpu.core.masked import Masked
+    from vae_gslm_tpu.hparams.hp import Hparams
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+    from vae_gslm_tpu.models.speech.lvtr import LVTR
+    from vae_gslm_tpu.models.vocoder.hfgan import Generator
+
+    precision.set_policy(precision.bf16_mixed())
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    hp = Hparams.from_yamlfile(
+        os.path.join(root, "configs", "train", "speech", "vae-gslm.yaml"))
+    voc_hp = Hparams.from_yamlfile(os.path.join(
+        root, "configs", "train", "vocoder",
+        "hfgan_16k_50hz_librispeech.yaml"))
+
+    model = LVTR(hp.model, input_dim=80, rngs=nnx.Rngs(0))
+    # Inference operating point (configs/infer/speech/vae-gslm.yaml).
+    model.decoder.override_sampling(sampling_timesteps=100,
+                                    ddim_sampling_eta=0.5)
+    generator = Generator(voc_hp.model.generator, rngs=nnx.Rngs(1))
+    generator.remove_weight_norm()
+
+    mel_rate = 50
+    prompt_s, cont_s = 3.0, 10.0
+    tp = int(prompt_s * mel_rate)      # 150
+    length = int(cont_s * mel_rate)    # 500
+
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, 200, (batch, tp, 1)).astype(np.float32)
+    mel = (rng.randn(batch, tp, 80) * 0.5 - 1.0).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.full((batch,), tp, np.int32))
+
+    sampler = ARTRSampler(model)
+    g_graphdef, g_state = nnx.split(generator)
+
+    @jax.jit
+    def vocode(g_state, mel: Masked):
+        gen = nnx.merge(g_graphdef, g_state)
+        return gen(mel)
+
+    def pipeline(key):
+        out = sampler(length, prior, key, temperature=0.85,
+                      token_temperature=0.85)
+        wave = vocode(g_state, out["output"])
+        return wave.value.block_until_ready()
+
+    # Compile + warm up.
+    pipeline(jax.random.PRNGKey(0))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        pipeline(jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_seconds = batch * cont_s
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "3s->10s continuation real-time factor per chip "
+                  f"(batch {batch}, full pipeline: AR 500 steps + "
+                  "DDIM-100 + HiFi-GAN)",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

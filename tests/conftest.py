@@ -1,11 +1,12 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax is imported anywhere.
+NOTE: in this environment the axon TPU plugin ignores the
+``JAX_PLATFORMS`` env var; the platform must be forced via
+``jax.config`` after import (before backend init).
 """
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,9 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Compiles round-trip through a slow service in this environment (~1.2s
-# each); the persistent cache makes warm test runs ~10x faster.
+# Persistent compile cache: warm test runs are much faster.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -79,16 +79,25 @@ def test_self_attention_matches_torch_sdpa():
 
 
 def test_self_attention_alibi_bias_reuse():
+    """Dense path (forced via return_attn) still produces and reuses the
+    ALiBi bias; the fused path computes it in-kernel instead."""
     dim = 16
     m = SelfAttention(dim, attn_hp(), rngs=rngs())
     rpe = ALiBi(4, 32)
     x = masked(c=dim)
-    out = m(x, rpe_pair=("ALiBi", rpe))
+    out = m(x, rpe_pair=("ALiBi", rpe), return_attn=True)
     assert "rpe_bias" in out
-    out2 = m(x, rpe_pair=None, rpe_bias=out["rpe_bias"])
+    out2 = m(x, rpe_pair=None, rpe_bias=out["rpe_bias"],
+             return_attn=True)
     np.testing.assert_allclose(np.asarray(out["output"].value),
                                np.asarray(out2["output"].value),
                                atol=1e-6)
+    # fused path agrees with the dense path
+    fused = m(x, rpe_pair=("ALiBi", rpe))
+    assert "rpe_bias" not in fused
+    np.testing.assert_allclose(np.asarray(fused["output"].value),
+                               np.asarray(out["output"].value),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_cross_attention_shapes():

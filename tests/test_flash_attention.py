@@ -1,0 +1,84 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.nn.attention import SelfAttention, attend, _split_heads
+from vae_gslm_tpu.nn.positions import ALiBi
+from vae_gslm_tpu.ops.flash_attention import (_attention_reference,
+                                              flash_attention)
+
+
+def test_reference_matches_dense_attend():
+    """ops XLA reference == nn.attend with the same masks/bias."""
+    rng = np.random.RandomState(0)
+    b, h, t, d = 2, 4, 16, 8
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    lengths = jnp.asarray([16, 10])
+    alibi = ALiBi(h, 64)
+    slopes = alibi.slopes[...]
+    got = np.asarray(_attention_reference(q, k, v, lengths, slopes,
+                                          causal=True))
+    # dense path via nn.attend
+    k_pos = jnp.arange(t)
+    pad = k_pos[None, :] < lengths[:, None]
+    mask = pad[:, None, None, :] & (
+        k_pos[None, :] <= jnp.arange(t)[:, None])[None, None]
+    bias = alibi(t, t)
+    qb = jnp.transpose(q, (0, 2, 1, 3))
+    kb = jnp.transpose(k, (0, 2, 1, 3))
+    vb = jnp.transpose(v, (0, 2, 1, 3))
+    ref, _ = attend(qb, kb, vb, bias, mask)
+    ref = np.asarray(jnp.transpose(ref, (0, 2, 1, 3)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_cpu_fallback_and_grads():
+    rng = np.random.RandomState(1)
+    b, h, t, d = 2, 2, 8, 4
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    lengths = jnp.asarray([8, 5])
+    slopes = -jnp.asarray([0.25, 0.5])
+
+    out = flash_attention(q, k, v, lengths, slopes, True)
+    ref = _attention_reference(q, k, v, lengths, slopes, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, lengths, slopes, True).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return _attention_reference(q, k, v, lengths, slopes,
+                                    True).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_self_attention_fused_path_matches_dense():
+    """The module's fused branch == the dense branch (forced via
+    return_attn, which disables fusion)."""
+    dim, nheads = 16, 4
+    m = SelfAttention(dim, Hparams(nheads=nheads, causal=True),
+                      rngs=nnx.Rngs(0))
+    rpe = ALiBi(nheads, 64)
+    rng = np.random.RandomState(2)
+    x = Masked.from_lengths(
+        jnp.asarray(rng.randn(2, 12, dim), jnp.float32),
+        jnp.asarray([12, 7]))
+    fused = m(x, rpe_pair=("ALiBi", rpe))["output"]
+    dense = m(x, rpe_pair=("ALiBi", rpe), return_attn=True)["output"]
+    np.testing.assert_allclose(np.asarray(fused.value),
+                               np.asarray(dense.value), rtol=1e-4,
+                               atol=1e-5)

@@ -347,9 +347,20 @@ class MelSpecDataset(StandardDataset):
 
     def get_post_pad_dict(self) -> Optional[Dict[str, int]]:
         hp = self.hp
-        if not hp.has("post_pad"):
-            return None
         out: Dict[str, int] = {}
+        # Static-shape default: crops always pad to their max crop
+        # length so every batch compiles to the same XLA program (the
+        # padding is masked; the reference pads per-batch instead).
+        if hp.has("random_crop_mel"):
+            out["cropped_mel"] = int(np.ceil(
+                hp.random_crop_mel.max_seg_sec
+                * self.melspec.sample_rate))
+        if hp.has("random_crop_mel_utt"):
+            out["cropped_mel_utt"] = int(np.ceil(
+                hp.random_crop_mel_utt.max_seg_sec
+                * self.melspec.sample_rate))
+        if not hp.has("post_pad"):
+            return out or None
         if hp.post_pad.has("text"):
             out["text"] = hp.post_pad.text.length
         if hp.post_pad.has("mel"):

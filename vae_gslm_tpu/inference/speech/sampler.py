@@ -51,8 +51,7 @@ class ARTRSampler:
             enc = model.encode(prior, k_enc,
                                temperature=encoder_temperature)
             b, tp = enc.value.shape[0], enc.value.shape[1]
-            caches = model.init_cache(b, tp + 1 + length,
-                                      dtype=jnp.float32)
+            caches = model.init_cache(b, tp + 1 + length)
             step_kw = dict(temperature=temperature,
                            token_temperature=token_temperature,
                            truncated_norm=truncated_norm)
@@ -119,8 +118,7 @@ class DiscreteARSampler:
             sos = model.initial_state(b)
             inp = jnp.concatenate([sos[:, :1].reshape(b, 1), ids],
                                   axis=1) if not has_f0 else None
-            caches = model.init_cache(b, tp + 1 + length,
-                                      dtype=jnp.float32)
+            caches = model.init_cache(b, tp + 1 + length)
             out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
                                      temperature=temperature)
             frame = out[:, -1:]

@@ -247,6 +247,7 @@ class LVTR(nnx.Module):
             "q_logstd": q_z.logstd.mean(),
             "q_mean": q_z.mean.mean(),
             "q_mean_abs": q_z.mean.abs().mean(),
+            "q_z": q_z,
             "u_c": u_c,
             "ce_loss": ce_loss,
         }

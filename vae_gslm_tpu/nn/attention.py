@@ -126,6 +126,35 @@ class SelfAttention(nnx.Module):
                  past_kv: Optional[Mapping[str, Array]] = None,
                  ) -> Mapping[str, Any]:
         outputs: dict = {}
+        # Fused Pallas path: causal/padding masks and ALiBi synthesized
+        # in-kernel — no (B,H,T,T) tensors in HBM. Dense fallback keeps
+        # the reference's bias-reuse protocol for T5/debug paths.
+        if (self.causal and past_kv is None and not return_attn
+                and rpe_bias is None
+                and (rpe_pair is None
+                     or rpe_pair[0] in (None, "ALiBi", "SinCos",
+                                        "Rotary"))):
+            from ..ops.flash_attention import flash_attention
+            q, k, v = self._qkv(x.value, rpe_pair)
+            slopes = None
+            if rpe_pair is not None and isinstance(rpe_pair[1], ALiBi):
+                slopes = rpe_pair[1].slopes[...]
+            qh = jnp.transpose(_split_heads(q, self.nheads),
+                               (0, 2, 1, 3))
+            kh = jnp.transpose(_split_heads(k, self.nheads),
+                               (0, 2, 1, 3))
+            vh = jnp.transpose(_split_heads(v, self.nheads),
+                               (0, 2, 1, 3))
+            out = flash_attention(qh, kh, vh, x.lengths, slopes, True)
+            out = jnp.transpose(out, (0, 2, 1, 3))
+            out = self.out_proj(_merge_heads(out))
+            outputs["output"] = Masked(out, x.lengths, 1).apply_mask()
+            if return_kv:
+                outputs["kv"] = {
+                    "key": jax.lax.stop_gradient(k),
+                    "value": jax.lax.stop_gradient(v),
+                }
+            return outputs
         q, k, v = self._qkv(x.value, rpe_pair)
         kv_lengths = x.lengths
         past_len = 0

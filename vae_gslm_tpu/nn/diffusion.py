@@ -125,9 +125,12 @@ class GaussianDiffusion1D(nnx.Module):
                                          None) or self.num_timesteps
         assert self.sampling_timesteps <= self.num_timesteps
         sched = DiffusionSchedule.create(betas)
-        # Stored as one stacked non-trainable variable for pytree economy.
-        self.schedule = nnx.Variable(jax.tree_util.tree_map(
-            jnp.asarray, dataclasses.asdict(sched)))
+        # One stacked (n_buffers, T) non-trainable variable: cheap
+        # pytree, trivially checkpointable.
+        names = sorted(dataclasses.asdict(sched).keys())
+        self._buf_idx = {n: i for i, n in enumerate(names)}
+        self.schedule = nnx.Variable(jnp.stack(
+            [jnp.asarray(getattr(sched, n)) for n in names]))
 
     # -- config overrides at inference (``speech/inferer.py:54-67``) ------
     def override_sampling(self, sampling_timesteps: Optional[int] = None,
@@ -142,7 +145,7 @@ class GaussianDiffusion1D(nnx.Module):
         return self.sampling_timesteps < self.num_timesteps
 
     def _buf(self, name: str) -> Array:
-        return self.schedule.value[name]
+        return self.schedule[...][self._buf_idx[name]]
 
     # -- conversions -------------------------------------------------------
     def predict_start_from_noise(self, x_t: Array, t: Array,

@@ -95,18 +95,27 @@ class TransformerLayer(nnx.Module):
         return output
 
     def decode(self, xv: Array, cache: LayerKVCache, pos: Array,
-               rpe_pair=None) -> Tuple[Array, LayerKVCache]:
+               rpe_pair=None,
+               memory: Optional[Masked] = None
+               ) -> Tuple[Array, LayerKVCache]:
         """Pre/post-LN step over the static cache (no masking needed:
-        decode positions are always valid)."""
+        decode positions are always valid).  With ``memory``,
+        cross-attention runs statelessly against the full memory."""
         if self.preln:
             h, cache = self.self_attn.decode_step(
                 self.norm1(xv), cache, pos, rpe_pair=rpe_pair)
             x = xv + h
+            if self.cross_attn is not None and memory is not None:
+                ca = self.cross_attn(Masked.full(self.norm2(x)), memory)
+                x = x + ca["output"].value
             x = x + self._ffn(self.norm3(x))
         else:
             h, cache = self.self_attn.decode_step(xv, cache, pos,
                                                   rpe_pair=rpe_pair)
             x = self.norm1(xv + h)
+            if self.cross_attn is not None and memory is not None:
+                ca = self.cross_attn(Masked.full(x), memory)
+                x = self.norm2(x + ca["output"].value)
             x = self.norm3(x + self._ffn(x))
         return x, cache
 
@@ -219,12 +228,20 @@ class TransformerLayerStack(nnx.Module):
         return [layer.self_attn.init_cache(batch, max_len, dtype)
                 for layer in self.layers]
 
-    def decode(self, xv: Array, caches: List[LayerKVCache], pos: Array
+    def project_memory(self, memory: Masked) -> Masked:
+        """Apply the stack's memory projection once (pre-scan)."""
+        if self.memory_linear is not None:
+            memory = Masked(self.memory_linear(memory.value),
+                            memory.lengths, 1).apply_mask()
+        return memory
+
+    def decode(self, xv: Array, caches: List[LayerKVCache], pos: Array,
+               memory: Optional[Masked] = None
                ) -> Tuple[Array, List[LayerKVCache]]:
         """One AR step: xv (B, S, C) raw input frames at absolute
         positions [pos, pos+S); returns final hidden (B, S, C) and
-        updated caches.  Cross-attention decode is handled by LVTTS via
-        full `run`; this path is self-attention only (speech LM)."""
+        updated caches.  ``memory`` (already passed through
+        ``project_memory``) enables per-step cross-attention (TTS)."""
         if self.linear is not None:
             xv = self.linear(xv)
         if self.first_norm is not None:
@@ -232,7 +249,8 @@ class TransformerLayerStack(nnx.Module):
         rpe_pair = (self.rpe_id, self.rpe) if self.rpe is not None else None
         new_caches = []
         for layer, cache in zip(self.layers, caches):
-            xv, cache = layer.decode(xv, cache, pos, rpe_pair=rpe_pair)
+            xv, cache = layer.decode(xv, cache, pos, rpe_pair=rpe_pair,
+                                     memory=memory)
             new_caches.append(cache)
         if self.final_norm is not None:
             xv = self.final_norm(xv)

@@ -1,0 +1,177 @@
+"""Pallas TPU attention kernel with fused ALiBi + causal/length masking.
+
+The reference materialises a dense ``(B, H, Tkv, Tkv)`` additive mask
+and an ALiBi bias tensor for SDPA
+(``/root/reference/modules/attention/attention.py:60-73``) — an HBM
+memory sink.  This kernel keeps K/V for one (batch, head) resident in
+VMEM (T ≤ ~2k at d=64 fits comfortably), streams q in ``block_q`` tiles
+over the MXU and synthesises the symmetric-ALiBi bias and causal /
+padding masks from iota *inside* the kernel — nothing quadratic ever
+touches HBM.
+
+Shapes: q, k, v: (B, H, T, D); lengths: (B,); slopes: (H,) (negative,
+as produced by ``nn.positions.ALiBi``).  fp32 softmax; matmuls accumulate
+fp32 via ``preferred_element_type``.
+
+A ``jax.custom_vjp`` wraps the kernel with an XLA backward (the forward
+dominates AR decode and eval; training backward reuses XLA's fused
+attention gradient which is already strong on TPU).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+def _attention_reference(q, k, v, lengths, slopes, causal):
+    """XLA fallback with identical semantics (also the custom-vjp fwd
+    residual path)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if slopes is not None:
+        q_pos = jnp.arange(tq)
+        k_pos = jnp.arange(tk)
+        dist = jnp.abs(k_pos[None, :] - q_pos[:, None]).astype(
+            jnp.float32)
+        logits = logits + slopes[:, None, None] * dist[None]
+    k_pos = jnp.arange(tk)
+    mask = k_pos[None, None, None, :] < lengths[:, None, None, None]
+    if causal:
+        q_pos = jnp.arange(tq)
+        mask = mask & (k_pos[None, None, None, :]
+                       <= q_pos[None, None, :, None])
+    logits = jnp.where(mask, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
+                  block_q: int, causal: bool, use_alibi: bool):
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)        # (block_q, D)
+    k = k_ref[0, 0].astype(jnp.float32)        # (T, D)
+    v = v_ref[0, 0].astype(jnp.float32)        # (T, D)
+    d = q.shape[-1]
+    t = k.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (block_q, T)
+    q_pos = (iq * block_q
+             + jax.lax.broadcasted_iota(jnp.int32, (block_q, t), 0))
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, t), 1)
+    if use_alibi:
+        slope = slope_ref[ih]
+        dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+        logits = logits + slope * dist
+    valid = k_pos < len_ref[ib]
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    w = e / s
+    out = jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
+                   slopes: Optional[Array], causal: bool,
+                   block_q: int) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    padded_tq = ((tq + block_q - 1) // block_q) * block_q
+    if padded_tq != tq:
+        pad = padded_tq - tq
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n_q = padded_tq // block_q
+    use_alibi = slopes is not None
+    if slopes is None:
+        slopes = jnp.zeros((h,), jnp.float32)
+    grid = (b, h, n_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_q=block_q, causal=causal,
+                          use_alibi=use_alibi),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # lengths (per b), slopes (per h)
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, tk, d),
+                             lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, tk, d),
+                             lambda b, h, i, *_: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b, h, i, *_: (b, h, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, padded_tq, d), q.dtype),
+    )(_per_program_lengths(lengths, b), slopes.astype(jnp.float32),
+      q, k, v)
+    return out[:, :, :tq]
+
+
+def _per_program_lengths(lengths: Array, b: int) -> Array:
+    return lengths.astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention(q, k, v, lengths, slopes, causal=True,
+                    block_q=128):
+    """Fused attention; falls back to XLA off-TPU.
+
+    q, k, v: (B, H, T, D); lengths: (B,) valid key counts;
+    slopes: (H,) negative ALiBi slopes or None.
+    """
+    return _dispatch(q, k, v, lengths, slopes, causal, block_q)
+
+
+def _dispatch(q, k, v, lengths, slopes, causal, block_q):
+    if jax.default_backend() in ("tpu",):
+        try:
+            return _flash_forward(q, k, v, lengths, slopes, causal,
+                                  block_q)
+        except Exception:
+            pass
+    return _attention_reference(q, k, v, lengths, slopes, causal)
+
+
+def _fwd(q, k, v, lengths, slopes, causal, block_q):
+    out = _dispatch(q, k, v, lengths, slopes, causal, block_q)
+    return out, (q, k, v, lengths, slopes)
+
+
+def _bwd(causal, block_q, res, g):
+    q, k, v, lengths, slopes = res
+    # XLA backward through the reference formulation.
+    def f(q, k, v):
+        return _attention_reference(q, k, v, lengths, slopes, causal)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -28,7 +28,8 @@ def main() -> None:
 
     hp = Hparams.from_yamlfile(args.config)
     hp_data = hp.data.get(args.split, None) or hp.data
-    hp_mel = hp.get("feature", None) or hp.vocoder_feature
+    hp_mel = hp.get("mel", None) or hp.get("feature", None)
+    assert hp_mel is not None, "config needs a mel:/feature: block"
     ds = MelSpecDataset(hp_data, hp_mel, name="preprocess")
     wavdir = Path(hp_data.wavdir).resolve()
     for i in range(len(ds)):

@@ -95,17 +95,13 @@ class LVTRTrainer(BaseTrainer):
     def _setup_state(self):
         self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
                                                 ...)
-        self.params = mesh_lib.replicate_tree(
-            nnx.to_pure_dict(params), self.mesh)
-        self.rest = mesh_lib.replicate_tree(
-            nnx.to_pure_dict(rest), self.mesh)
-        self._param_template = params
-        self._rest_template = rest
+        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.rest = mesh_lib.replicate_tree(rest, self.mesh)
         self.opt_state = mesh_lib.replicate_tree(
             self.tx.init(self.params), self.mesh)
         if self.freeze_encoder:
             def frozen(path, leaf):
-                root = str(path[0].key)
+                root = str(getattr(path[0], "key", path[0]))
                 return 0.0 if root in ("encoder_net", "encoder_head") \
                     else 1.0
             self.grad_mask = jax.tree_util.tree_map_with_path(
@@ -114,18 +110,12 @@ class LVTRTrainer(BaseTrainer):
             self.grad_mask = None
 
     def _merge(self, params, rest):
-        p = jax.tree_util.tree_map(lambda x: x, self._param_template)
-        nnx.replace_by_pure_dict(p, params)
-        r = jax.tree_util.tree_map(lambda x: x, self._rest_template)
-        nnx.replace_by_pure_dict(r, rest)
-        return nnx.merge(self.graphdef, p, r)
+        return nnx.merge(self.graphdef, params, rest)
 
     def sync_model(self):
         """Copy trained params back into self.model (for sampling/export)."""
-        _, params, rest = nnx.split(self.model, nnx.Param, ...)
-        nnx.replace_by_pure_dict(params, jax.tree_util.tree_map(
+        nnx.update(self.model, jax.tree_util.tree_map(
             np.asarray, self.params))
-        nnx.update(self.model, params)
 
     # --------------------------------------------------------------- data
     def _make_dataset(self, hp_data: Hparams, name: str):
@@ -205,18 +195,19 @@ class LVTRTrainer(BaseTrainer):
             kld_weight = self._kld_weight(step)
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 
-            def body(carry, mb_key):
-                acc, _ = carry
+            def body(acc, mb_key):
                 mb, k = mb_key
                 grads, metrics = grad_fn(params, rest, mb, kld_weight, k)
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-                return (acc, metrics), None
+                return acc, metrics
 
             accum = jax.tree_util.tree_leaves(
                 batch_stack)[0].shape[0]
             keys = jax.random.split(key, accum)
-            (grads, metrics), _ = jax.lax.scan(
-                body, (zero_grads, None), (batch_stack, keys))
+            grads, metrics_all = jax.lax.scan(
+                body, zero_grads, (batch_stack, keys))
+            metrics = jax.tree_util.tree_map(lambda m: m[-1],
+                                             metrics_all)
             if self.grad_mask is not None:
                 grads = jax.tree_util.tree_map(
                     lambda g, m: g * m, grads, self.grad_mask)

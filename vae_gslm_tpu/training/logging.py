@@ -64,8 +64,18 @@ class ExperimentLogger:
                   sample_rate: int) -> None:
         wave = np.asarray(wave, np.float32)
         if self.writer is not None:
-            self.writer.add_audio(tag, wave[:, None], step,
-                                  sample_rate=sample_rate)
+            try:
+                self.writer.add_audio(tag, wave[:, None], step,
+                                      sample_rate=sample_rate)
+                return
+            except (ImportError, ModuleNotFoundError):
+                pass
+        # Fallback: dump the wav next to the event files.
+        from ..data.audio import save_wav
+        out = os.path.join(self.log_path, "audio",
+                           f"{tag.replace('/', '_')}_step{step}.wav")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        save_wav(out, wave, sample_rate)
 
     def log_text(self, tag: str, text: str, step: int) -> None:
         if self.writer is not None:

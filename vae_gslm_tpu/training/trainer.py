@@ -90,7 +90,9 @@ class BaseTrainer:
         self.gradient_update_step = 1
         if hp.has("training") and hp.training.has("gradient_accumulation"):
             self.gradient_update_step = hp.training.gradient_accumulation
-        self.mesh = mesh_lib.create_mesh()
+        n_dev = hp.trainer.get("n_devices", None) if hp.has("trainer") \
+            else None
+        self.mesh = mesh_lib.create_mesh(n_dev)
         self.global_step = 0
         self.logger: Optional[ExperimentLogger] = None
 
