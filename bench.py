@@ -72,7 +72,9 @@ def main() -> None:
         out = sampler(length, prior, key, temperature=0.85,
                       token_temperature=0.85)
         wave = vocode(g_state, out["output"])
-        return wave.value.block_until_ready()
+        # Force a device->host transfer: on the tunneled axon platform
+        # block_until_ready alone does not guarantee execution finished.
+        return np.asarray(wave.value[:, -16000:])
 
     # Compile + warm up.
     pipeline(jax.random.PRNGKey(0))

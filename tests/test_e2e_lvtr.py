@@ -19,7 +19,7 @@ SR = 16000
 VOCODER_HP = """
 feature:
     sample_rate: 16000
-    n_fft: 512
+    n_fft: 513
     win_length: 400
     hop_length: 320
     n_mels: 20

@@ -1,0 +1,501 @@
+"""Smoke tests for the remaining task trainers: HiFi-GAN GAN loop,
+DiscreteAR token LM, HuBERT decoder, SoundStream, LVTTS (+TTS sampler).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.data import audio as audio_lib
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.models.vocoder.vocoder import HiFiGAN, HuBERTIO
+from vae_gslm_tpu.training.logging import ExperimentLogger
+
+SR = 16000
+
+VOCODER_HP = """
+feature:
+    sample_rate: 16000
+    n_fft: 513
+    win_length: 400
+    hop_length: 320
+    n_mels: 20
+    f_min: 0
+    f_max: 8000
+    power: 1.0
+    log_scale: true
+model:
+    generator:
+        weight_norm: true
+        upsample_rates: [5, 4, 4, 2, 2]
+        upsample_kernel_sizes: [10, 8, 8, 4, 4]
+        upsample_initial_channel: 64
+        resblock_kernel_sizes: [3]
+        resblock_dilation_sizes:
+            - [1, 2]
+        in_channels: 20
+        kernel_size: 7
+"""
+
+HUBERT_MODEL_HP = """
+embedding_dim: 8
+hubert: {vocab_size: 32, deduplicate: false, sample_rate: 50}
+embed_encoder:
+    num_layers: 1
+    layer:
+        in_channels: 8
+        hidden_channels: 16
+        kernel_size: 3
+        causal_padding: true
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+decoder:
+    diffusion:
+        timesteps: 8
+        sampling_timesteps: 3
+        loss_type: l1
+        objective: pred_noise
+        beta_schedule: {identifier: cosine}
+    cond_unet:
+        unet:
+            condition_dim: 8
+            num_layers: 1
+            resample_rates: [1]
+            resample_ksize: [1]
+            init_channel: 16
+            out_channels: [16]
+            hidden_channels: [32]
+            conditional: [true]
+            final_norm: true
+            layer:
+                kernel_size: 3
+                norm: {identifier: InstanceNorm, eps: 1.0e-6}
+                activation: {identifier: SiLU}
+                condition_type: concat
+        time_embedding:
+            dim: 16
+            maxpos: 8
+            activation: {identifier: SiLU}
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tr_corpus")
+    rng = np.random.RandomState(0)
+    lines, tlines = [], []
+    for i in range(4):
+        n = int(SR * 0.6)
+        t = np.arange(n) / SR
+        wave = (0.2 * np.sin(2 * np.pi * (180 + 30 * i) * t)).astype(
+            np.float32)
+        name = f"utt{i}.wav"
+        audio_lib.save_wav(str(root / name), wave, SR)
+        toks = rng.randint(0, 32, size=int(0.6 * 50))
+        lines.append(f"{name}|{' '.join(map(str, toks))}")
+        tlines.append(f"{name}|dummy|hello world sample {i}")
+    (root / "tokens.txt").write_text("\n".join(lines) + "\n")
+    (root / "text.txt").write_text("\n".join(tlines) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def vocoder_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voc")
+    HiFiGAN(Hparams.from_yaml(VOCODER_HP),
+            rngs=nnx.Rngs(0)).save_pretrained(str(d))
+    return d
+
+
+@pytest.fixture(scope="module")
+def hubert_codec_dir(tmp_path_factory, vocoder_dir):
+    d = tmp_path_factory.mktemp("hubert_codec")
+    hp = Hparams(model=Hparams.from_yaml(HUBERT_MODEL_HP).to_dict(),
+                 vocoder={"path": str(vocoder_dir)})
+    codec = HuBERTIO(hp, rngs=nnx.Rngs(0))
+    codec.save_pretrained(str(d))
+    return d
+
+
+def test_hifigan_trainer_steps(corpus, vocoder_dir, tmp_path_factory):
+    hp = Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.vocoder.hfgan.HiFiGANTrainer"
+    total_steps: 4
+    limit_val_batches: 1
+    precision: "32"
+    distributed: false
+logging: {{log_dir: "unused", num_samples: 1}}
+{VOCODER_HP.replace("model:", "model:", 1)}
+model:
+    generator:
+        weight_norm: true
+        upsample_rates: [5, 4, 4, 2, 2]
+        upsample_kernel_sizes: [10, 8, 8, 4, 4]
+        upsample_initial_channel: 64
+        resblock_kernel_sizes: [3]
+        resblock_dilation_sizes:
+            - [1, 2]
+        in_channels: 20
+        kernel_size: 7
+    mrd:
+        weight_norm: true
+        resolutions:
+            - [128, 32, 64]
+    mpd: {{weight_norm: true, periods: [2, 3]}}
+training:
+    generator:
+        optimizer: {{identifier: Adam, lr: 1.0e-4, beta1: 0.8, beta2: 0.98}}
+        scheduler: {{identifier: triangle, flat_steps: 1}}
+    discriminator:
+        optimizer: {{identifier: Adam, lr: 1.0e-4, beta1: 0.8, beta2: 0.98}}
+        scheduler: {{identifier: triangle, flat_steps: 1}}
+    mel_loss_weight: 40.0
+data:
+    train:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        segment_size: 0.2
+        sample_rate: 16000
+        with_text: false
+        num_workers: 2
+        batch_size: 2
+        post_pad: {{audio: {{length: 0.2}}}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        segment_size: 0.3
+        sample_rate: 16000
+        with_text: false
+        num_workers: 2
+        batch_size: 2
+        post_pad: {{audio: {{length: 0.3}}}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+    from vae_gslm_tpu.trainers.vocoder.hfgan import HiFiGANTrainer
+    trainer = HiFiGANTrainer(hp)
+    logger = ExperimentLogger(
+        str(tmp_path_factory.mktemp("hfgan_exp")))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    assert trainer.global_step == 2
+    trainer.checkpoint()
+    ckpt = os.path.join(logger.ckpt_path, "last-cpt.npz")
+    assert os.path.exists(ckpt)
+    # The compact checkpoint loads back as a pretrained vocoder.
+    voc = HiFiGAN.from_pretrained(logger.ckpt_path)
+    mel = Masked.from_lengths(jnp.zeros((1, 10, 20)), jnp.asarray([10]))
+    wave = voc.decode(mel)
+    assert wave.value.shape == (1, 10 * 320)
+    logger.close()
+
+
+def _discrete_hp(corpus, codec_dir):
+    return Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.speech.discrete.DiscreteARTrainer"
+    total_steps: 4
+    limit_val_batches: 1
+    distributed: false
+logging:
+    log_dir: "unused"
+    num_samples: 1
+    temperature: 1.0
+    sample_length: 0.4
+    sample_prior_length: 0.2
+    plot_attn: false
+hubert: {{path: "{codec_dir}"}}
+model:
+    transformer:
+        bias: false
+        rpe: {{identifier: ALiBi, maxpos: 64}}
+        num_layers: 1
+        layer:
+            ffd_size: 32
+            dim: 16
+            norm: {{identifier: RMSNorm, eps: 1.0e-6}}
+            activation: {{identifier: GELU}}
+            self_attn: {{nheads: 4, causal: true}}
+training:
+    gradient_accumulation: 1
+    optimizer:
+        identifier: AdamW
+        lr: 1.0e-4
+        beta1: 0.9
+        beta2: 0.98
+    scheduler: {{identifier: cosine, min_lr: 1.0e-5, flat_steps: 1}}
+data:
+    train:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+
+
+def test_discrete_ar_trainer_and_sampler(corpus, hubert_codec_dir,
+                                         tmp_path_factory):
+    from vae_gslm_tpu.trainers.speech.discrete import DiscreteARTrainer
+    trainer = DiscreteARTrainer(_discrete_hp(corpus, hubert_codec_dir))
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("dar_exp")))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    assert trainer.global_step == 2
+    # AR token sampling + decode through the frozen codec.
+    trainer.sync_model()
+    prior = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(0).randint(0, 32, (2, 10))),
+        jnp.asarray([10, 10]))
+    full = trainer.sampler(5, prior, jax.random.PRNGKey(0),
+                           temperature=1.0)
+    assert full.value.shape == (2, 15)
+    toks = np.asarray(full.value)
+    assert ((toks >= 0) & (toks < 32)).all()
+    audio = trainer.model.decode(full, key=jax.random.PRNGKey(1))
+    assert audio.value.shape[1] == 15 * 320
+    logger.close()
+
+
+def test_hubert_decoder_trainer(corpus, vocoder_dir, tmp_path_factory):
+    hp = Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.vocoder.hubert.HuBERTDecoderTrainer"
+    total_steps: 4
+    limit_val_batches: 1
+    distributed: false
+logging: {{log_dir: "unused", num_samples: 0}}
+vocoder: {{path: "{vocoder_dir}"}}
+model:
+{chr(10).join('    ' + line for line in HUBERT_MODEL_HP.splitlines())}
+training:
+    gradient_accumulation: 1
+    optimizer:
+        identifier: AdamW
+        lr: 1.0e-4
+        beta1: 0.9
+        beta2: 0.98
+    scheduler: {{identifier: cosine, min_lr: 1.0e-5, flat_steps: 1}}
+data:
+    train:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+    from vae_gslm_tpu.trainers.vocoder.hubert import HuBERTDecoderTrainer
+    trainer = HuBERTDecoderTrainer(hp)
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("hub_exp")))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    assert trainer.global_step == 2
+    logger.close()
+
+
+def test_lvtts_trainer_and_sampler(corpus, vocoder_dir,
+                                   tmp_path_factory):
+    hp = Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.tts.lvtts.LVTTSTrainer"
+    total_steps: 4
+    limit_val_batches: 1
+    distributed: false
+logging:
+    log_dir: "unused"
+    num_samples: 0
+    temperature: 1.0
+    max_sample_length: 0.4
+    min_sample_length: 0.1
+    plot_attn: false
+vocoder: {{path: "{vocoder_dir}"}}
+model:
+    latent_dim: 4
+    text: {{embedding_dim: 8, encoder: {{
+        bias: false,
+        num_layers: 1,
+        rpe: {{identifier: ALiBi, maxpos: 64}},
+        layer: {{
+            ffd_size: 32, dim: 16,
+            norm: {{identifier: RMSNorm, eps: 1.0e-6}},
+            activation: {{identifier: GELU}},
+            self_attn: {{nheads: 4, causal: false}}}}}}}}
+    eos:
+        num_layers: 1
+        layer:
+            hidden_dim: 16
+            activation: {{identifier: GELU}}
+            norm: {{identifier: LayerNorm, eps: 1.0e-6}}
+    spkr:
+        embedding_dim: 8
+        num_layers: 1
+        resample_rates: [-2]
+        resample_ksize: [4]
+        init_channel: 16
+        out_channels: [16]
+        hidden_channels: [32]
+        layer:
+            kernel_size: 3
+            norm: {{identifier: InstanceNorm, eps: 1.0e-6}}
+            activation: {{identifier: ReLU}}
+    encoder:
+        identifier: BottleNeckResNet
+        num_layers: 1
+        resample_rates: [1]
+        resample_ksize: [1]
+        init_channel: 16
+        out_channels: [16]
+        hidden_channels: [32]
+        final_norm: true
+        layer:
+            causal_padding: true
+            kernel_size: 3
+            norm: {{identifier: InstanceNorm, eps: 1.0e-6}}
+            activation: {{identifier: ReLU}}
+    decoder:
+        diffusion:
+            timesteps: 8
+            sampling_timesteps: 3
+            loss_type: l1
+            input_scale: 5.0
+            objective: pred_noise
+            clamp_range: [-3.0, 1.2]
+            beta_schedule: {{identifier: cosine}}
+            identifier: ConditionalBottleNeckUNet
+        cond_unet:
+            unet:
+                condition_dim: 8
+                num_layers: 1
+                resample_rates: [1]
+                resample_ksize: [1]
+                init_channel: 16
+                out_channels: [16]
+                hidden_channels: [32]
+                conditional: [true]
+                final_norm: true
+                layer:
+                    causal_padding: true
+                    kernel_size: 3
+                    norm: {{identifier: InstanceNorm, eps: 1.0e-6}}
+                    activation: {{identifier: SiLU}}
+                    condition_type: concat
+            time_embedding:
+                dim: 16
+                maxpos: 8
+                activation: {{identifier: SiLU}}
+    transformer:
+        bias: false
+        rpe: {{identifier: ALiBi, maxpos: 64}}
+        num_layers: 1
+        layer:
+            ffd_size: 32
+            dim: 16
+            norm: {{identifier: RMSNorm, eps: 1.0e-6}}
+            activation: {{identifier: GELU}}
+            self_attn: {{nheads: 4, causal: true}}
+            cross_attn: {{nheads: 4}}
+training:
+    gradient_accumulation: 1
+    optimizer:
+        identifier: AdamW
+        lr: 1.0e-4
+        beta1: 0.9
+        beta2: 0.98
+    scheduler: {{identifier: cosine, min_lr: 1.0e-5, flat_steps: 1}}
+    mel_rescale: {{mean: -1.5, std: 2.0}}
+data:
+    train:
+        path: "{corpus}/text.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: true
+        delimiter: " "
+        num_workers: 2
+        batch_size: 2
+        random_crop_mel: {{min_seg_sec: 0.2, max_seg_sec: 0.3}}
+        pad_text: {{length: 8}}
+        post_pad:
+            text: {{length: 8}}
+            mel: {{length: 0.6}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/text.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: true
+        delimiter: " "
+        num_workers: 2
+        batch_size: 2
+        random_crop_mel: {{min_seg_sec: 0.2, max_seg_sec: 0.3}}
+        pad_text: {{length: 8}}
+        post_pad:
+            text: {{length: 8}}
+            mel: {{length: 0.6}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+    from vae_gslm_tpu.trainers.tts.lvtts import LVTTSTrainer
+    trainer = LVTTSTrainer(hp)
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("tts_exp")))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    assert trainer.global_step == 2
+    assert os.path.exists(os.path.join(logger.ckpt_path,
+                                       "symbols.json"))
+    # EOS-stopped TTS sampling at fixed batch.
+    trainer.sync_model()
+    text = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(0).randint(1, 8, (2, 6))),
+        jnp.asarray([6, 4]))
+    spkr = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(1).randn(2, 10, 20),
+                    jnp.float32), jnp.asarray([10, 10]))
+    out = trainer.sampler(text, spkr, jax.random.PRNGKey(0),
+                          max_frames=8, min_frames=2)
+    assert out["output"].value.shape[0] == 2
+    assert np.isfinite(np.asarray(out["output"].value)).all()
+    logger.close()

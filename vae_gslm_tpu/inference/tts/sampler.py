@@ -49,7 +49,8 @@ class ARTRTTSSampler:
                 nxt, caches, eos = _tts_step(
                     model, frame, memory, caches, pos, k_i,
                     temperature, eos_threshold)
-                emitted = jnp.where(active[:, None, None], frame, 0.0)
+                emitted = jnp.where(active[:, None, None], frame,
+                                    0.0)[:, 0]
                 newly_done = active & eos & (i >= min_frames)
                 lengths = jnp.where(newly_done, pos, lengths)
                 active = active & ~newly_done

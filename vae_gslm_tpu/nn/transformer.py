@@ -38,11 +38,12 @@ class TransformerLayer(nnx.Module):
                                 "self_attn")
         self.preln = hp.get("preln", True)
         self.self_attn = SelfAttention(hp.dim, hp.self_attn, rngs=rngs)
-        self.cross_attn = None
         if hp.has("cross_attn"):
             self.cross_attn = CrossAttention(hp.dim, hp.cross_attn,
                                              rngs=rngs)
             self.norm2 = get_norm(hp.dim, hp.norm, rngs=rngs)
+        else:
+            self.cross_attn = None
         bias = hp.get("bias", True)
         self.linear1 = Dense(hp.dim, hp.ffd_size, bias=bias, rngs=rngs)
         self.linear2 = Dense(hp.ffd_size, hp.dim, bias=bias, rngs=rngs)

@@ -175,7 +175,10 @@ class BaseTrainer:
         accum = self.gradient_update_step
         t0 = time.time()
         profiled = False
+        epoch = 0
         while self.global_step < total_steps:
+            loader.sampler.set_epoch(epoch)
+            epoch += 1
             micro: list = []
             for batch in loader:
                 micro.append(batch)
