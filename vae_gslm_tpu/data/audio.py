@@ -18,11 +18,18 @@ SAMPLE_RATE_POOL = [16000, 44100, 48000, 24000]
 
 
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
-    """Load an audio file → (float32 mono-able array (C, T) or (T,), sr)."""
+    """Load an audio file → (float32 mono-able array (C, T) or (T,), sr).
+
+    Uses the native C++ decoder (``native/dataio.cc``) when available,
+    otherwise scipy."""
     if not path.lower().endswith(".wav"):
         raise ValueError(
             f"Only WAV decoding is available in this build: {path}. "
             "Convert FLAC/MP3 inputs to WAV first.")
+    from . import native
+    nat = native.wav_read(path)
+    if nat is not None:
+        return nat  # already mono float32
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
@@ -53,6 +60,10 @@ def to_mono(audio: np.ndarray) -> np.ndarray:
 def resample(audio: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     if orig_sr == new_sr:
         return audio
+    from . import native
+    nat = native.resample(audio, orig_sr, new_sr)
+    if nat is not None:
+        return nat
     from scipy.signal import resample_poly
     g = math.gcd(orig_sr, new_sr)
     return resample_poly(audio, new_sr // g, orig_sr // g).astype(
