@@ -270,6 +270,33 @@ def test_e2e_train_then_infer(corpus, vocoder_dir, tmp_path_factory):
     assert len(wave) > 0 and np.isfinite(wave).all()
 
 
+def test_full_state_resume(corpus, vocoder_dir, tmp_path_factory):
+    """Exact-resume track: orbax full state restores params/opt/step."""
+    log_dir = tmp_path_factory.mktemp("exp_resume")
+    cfg = TRAIN_HP.format(log_dir=log_dir, vocoder_dir=vocoder_dir,
+                          corpus=corpus)
+    hp = Hparams.from_yaml(cfg)
+    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
+    trainer = LVTRTrainer(hp)
+    logger = ExperimentLogger(str(log_dir))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    full = os.path.join(logger.ckpt_path, "full_state")
+    assert os.path.exists(full), "orbax full state was not written"
+    import jax
+
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+    trainer2 = LVTRTrainer(hp)
+    new_leaf = np.asarray(jax.tree_util.tree_leaves(trainer2.params)[0])
+    assert not np.allclose(ref_leaf, new_leaf)
+    trainer2.resume(full)
+    assert trainer2.global_step == 2
+    res_leaf = np.asarray(
+        jax.tree_util.tree_leaves(trainer2.params)[0])
+    np.testing.assert_array_equal(res_leaf, ref_leaf)
+    logger.close()
+
+
 def test_likelihood_estimator_e2e(corpus, vocoder_dir,
                                   tmp_path_factory):
     # reuse a fresh 0-step checkpoint
