@@ -18,7 +18,7 @@ import time
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     import jax
     import jax.numpy as jnp
     import numpy as np

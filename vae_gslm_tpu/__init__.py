@@ -7,6 +7,17 @@ warm starts an order of magnitude faster.  Disable with
 """
 import os as _os
 
+if _os.environ.get("VAE_GSLM_FORCE_CPU"):
+    # The axon TPU plugin in this image ignores JAX_PLATFORMS; the
+    # config API is the reliable escape hatch (must precede backend
+    # init, hence here).
+    import jax as _jax_cpu
+
+    try:
+        _jax_cpu.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover
+        pass
+
 if not _os.environ.get("VAE_GSLM_NO_COMPILE_CACHE"):
     import jax as _jax
 

@@ -36,19 +36,15 @@ def f0_autocorr(wave: np.ndarray, sr: int, hop: int = 320,
     for i in range(n_frames):
         seg = wave[i * hop: i * hop + frame].astype(np.float64)
         seg = seg - seg.mean()
-        e0 = np.sqrt(np.sum(seg * seg)) + 1e-9
-        best_r, best_lag = 0.0, 0
         ac = np.correlate(seg, seg, mode="full")[len(seg) - 1:]
-        norm = np.sqrt(ac[0] * ac[0]) + 1e-9
-        if lag_max < len(ac):
-            window = ac[lag_min:lag_max] / (ac[0] + 1e-9)
-            best = int(np.argmax(window))
-            best_r = float(window[best])
-            best_lag = lag_min + best
+        if lag_max >= len(ac):
+            continue
+        window = ac[lag_min:lag_max] / (ac[0] + 1e-9)
+        best = int(np.argmax(window))
+        best_lag = lag_min + best
         if best_lag > 0:
             f0[i] = sr / best_lag
-            conf[i] = max(0.0, min(1.0, best_r))
-        del e0, norm
+            conf[i] = float(np.clip(window[best], 0.0, 1.0))
     return f0, conf
 
 

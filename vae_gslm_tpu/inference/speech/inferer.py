@@ -162,10 +162,17 @@ class SpeechInferer(BaseInferer):
     def test_step(self, batch, key) -> np.ndarray:
         hp = self.hp
         if self.type == "hubert":
-            prior = batch["tokens"]
-            prior_length = int(hp.sample_prior_length
-                               * self.token_sample_rate)
-            length = int(hp.sample_length * self.token_sample_rate)
+            if self.deduplicate:
+                # Dedup mode counts in tokens, not seconds
+                # (``speech/inferer.py:118-125``).
+                prior = batch["dedup_tokens"]
+                prior_length = hp.sample_prior_tokens
+                length = hp.sample_tokens
+            else:
+                prior = batch["tokens"]
+                prior_length = int(hp.sample_prior_length
+                                   * self.token_sample_rate)
+                length = int(hp.sample_length * self.token_sample_rate)
             prior = Masked(
                 prior.value[:, :prior_length],
                 np.minimum(np.asarray(prior.lengths), prior_length), 1)

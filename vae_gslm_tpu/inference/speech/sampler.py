@@ -13,7 +13,6 @@ variant covers the token-LM baseline.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

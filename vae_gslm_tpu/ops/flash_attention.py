@@ -128,13 +128,8 @@ def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
                                    lambda b, h, i, *_: (b, h, i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, padded_tq, d), q.dtype),
-    )(_per_program_lengths(lengths, b), slopes.astype(jnp.float32),
-      q, k, v)
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32), q, k, v)
     return out[:, :, :tq]
-
-
-def _per_program_lengths(lengths: Array, b: int) -> Array:
-    return lengths.astype(jnp.int32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

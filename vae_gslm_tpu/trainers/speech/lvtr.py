@@ -309,6 +309,13 @@ class LVTRTrainer(BaseTrainer):
         rec_mel = self.model.decode(enc, k2, u_c=u_c)
         rec_audio = self.vocoder.decode(rec_mel)
         re_vocoded = self.vocoder.decode(mel)
+        # Shuffled-speaker reconstruction (``lvtr.py:245-262``).
+        s_rec_audio = None
+        if u_c is not None and num > 1:
+            perm = np.random.RandomState(step).permutation(num)
+            s_mel = self.model.decode(enc, jax.random.fold_in(k2, 1),
+                                      u_c=u_c[perm])
+            s_rec_audio = self.vocoder.decode(s_mel)
         # Prior continuation.
         prior_len = int(self.hp.logging.sample_prior_length
                         * self.val_mel_sample_rate)
@@ -322,10 +329,13 @@ class LVTRTrainer(BaseTrainer):
                                temperature=self.hp.logging.temperature)
         sampled_audio = self.vocoder.decode(samples["output"])
         sr = self.hp.data.train.sample_rate
+        artifacts = [("re_vocoded", re_vocoded),
+                     ("reconstruct", rec_audio),
+                     ("samples", sampled_audio)]
+        if s_rec_audio is not None:
+            artifacts.append(("shuffled_rec", s_rec_audio))
         for i in range(num):
-            for tag, audio in (("re_vocoded", re_vocoded),
-                               ("reconstruct", rec_audio),
-                               ("samples", sampled_audio)):
+            for tag, audio in artifacts:
                 wav = np.asarray(audio.value)[i]
                 ln = int(np.asarray(audio.lengths)[i])
                 self.logger.log_audio(f"{tag}/{i}", wav[:ln], step, sr)
