@@ -112,11 +112,20 @@ class DiscreteARSampler:
         def run(state, prior_tokens: Masked, key: Array):
             model = nnx.merge(graphdef, state)
             k_pre, k_scan = jax.random.split(key)
-            ids = prior_tokens.value.astype(jnp.int32)
+            if has_f0:
+                # prior carries [token, f0] channels.
+                ids = prior_tokens.value[..., 0].astype(jnp.int32)
+                f0 = prior_tokens.value[..., 1:]
+            else:
+                ids = prior_tokens.value.astype(jnp.int32)
             b, tp = ids.shape[0], ids.shape[1]
             sos = model.initial_state(b)
-            inp = jnp.concatenate([sos[:, :1].reshape(b, 1), ids],
-                                  axis=1) if not has_f0 else None
+            inp = jnp.concatenate([sos, ids], axis=1)
+            if has_f0:
+                f0_in = jnp.concatenate(
+                    [jnp.zeros((b, 1, 1), f0.dtype), f0], axis=1)
+                inp = jnp.concatenate(
+                    [inp[..., None].astype(jnp.float32), f0_in], -1)
             caches = model.init_cache(b, tp + 1 + length)
             out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
                                      temperature=temperature)
@@ -132,7 +141,12 @@ class DiscreteARSampler:
             (_, _, _), frames = jax.lax.scan(
                 body, (frame, caches, jnp.asarray(tp + 1)), keys)
             frames = jnp.swapaxes(frames, 0, 1)
-            full = jnp.concatenate([ids, frames], axis=1)
+            if has_f0:
+                prior_full = jnp.concatenate(
+                    [ids[..., None].astype(jnp.float32), f0], axis=-1)
+                full = jnp.concatenate([prior_full, frames], axis=1)
+            else:
+                full = jnp.concatenate([ids, frames], axis=1)
             return Masked.from_lengths(full,
                                        prior_tokens.lengths + length)
 
