@@ -58,6 +58,28 @@ def test_hubert_matches_hf(stable):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_hubert_masked_padding_matches_unpadded():
+    """Bucket-padded + length-masked ≈ unpadded (up to pos-conv edge)."""
+    import torch
+    torch.manual_seed(1)
+    hf_cfg = _hf_config(True)
+    hf = transformers.HubertModel(hf_cfg)
+    cfg = HubertConfig.from_hf(hf_cfg)
+    model = HubertEncoder(cfg)
+    convert_hf_state_dict(model, hf.state_dict())
+    wave = normalize_input(
+        np.random.RandomState(3).randn(1, 2000).astype(np.float32))
+    exact = np.asarray(model(wave))
+    padded = np.pad(wave, ((0, 0), (0, 1200)))
+    masked = np.asarray(model(padded,
+                              lengths=np.asarray([2000], np.int32)))
+    n = exact.shape[1]
+    # Interior frames agree closely; pos-conv half-width is 8 frames
+    # for this tiny config, so exclude the trailing edge.
+    np.testing.assert_allclose(masked[:, : n - 8], exact[:, : n - 8],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_hubert_frame_rate():
     """conv strides (5,2,2,2,2,2,2) -> 320x downsample = 50 Hz."""
     cfg = HubertConfig(hidden_size=32, num_hidden_layers=1,

@@ -181,7 +181,7 @@ class EncoderLayer(nnx.Module):
         self.stable = cfg.do_stable_layer_norm
         self.d = d
 
-    def _attn(self, x: Array) -> Array:
+    def _attn(self, x: Array, mask: Optional[Array]) -> Array:
         b, t, d = x.shape
         h = self.nheads
         hd = d // h
@@ -191,6 +191,8 @@ class EncoderLayer(nnx.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits / np.sqrt(hd)
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :], logits, -1e30)
         w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v,
                          preferred_element_type=jnp.float32)
@@ -199,12 +201,12 @@ class EncoderLayer(nnx.Module):
     def _ff(self, x: Array) -> Array:
         return self.ff2(jax.nn.gelu(self.ff1(x), approximate=False))
 
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         if self.stable:
-            x = x + self._attn(self.attn_ln(x))
+            x = x + self._attn(self.attn_ln(x), mask)
             x = x + self._ff(self.final_ln(x))
         else:
-            x = self.attn_ln(x + self._attn(x))
+            x = self.attn_ln(x + self._attn(x, mask))
             x = self.final_ln(x + self._ff(x))
         return x
 
@@ -238,20 +240,43 @@ class HubertEncoder(nnx.Module):
             y = y[:, :-1]
         return jax.nn.gelu(y, approximate=False)
 
-    def __call__(self, wave: Array) -> Array:
-        """wave: (B, T) normalised waveform → (B, frames, d)."""
+    def frame_count(self, n_samples) -> int:
+        """Output frames for an input length (conv stack arithmetic)."""
+        n = n_samples
+        for k, s in zip(self.cfg.conv_kernel, self.cfg.conv_stride):
+            n = (n - k) // s + 1
+        return n
+
+    def __call__(self, wave: Array,
+                 lengths: Optional[Array] = None) -> Array:
+        """wave: (B, T) normalised waveform → (B, frames, d).
+
+        With ``lengths``, padded frames are zeroed and masked out of
+        attention (HF attention_mask semantics) so bucket-padded batches
+        match unpadded runs up to pos-conv edge effects.
+        """
         feats = self.feature_encoder(wave)
+        mask = None
+        if lengths is not None:
+            n = lengths
+            for k, s in zip(self.cfg.conv_kernel, self.cfg.conv_stride):
+                n = (n - k) // s + 1
+            pos = jnp.arange(feats.shape[1])
+            mask = pos[None, :] < n[:, None]
+            feats = jnp.where(mask[..., None], feats, 0.0)
         x = self.fp_proj(self.fp_ln(feats))
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
         if self.cfg.do_stable_layer_norm:
             x = x + self._pos_conv(x)
             for layer in self.layers:
-                x = layer(x)
+                x = layer(x, mask)
             x = self.enc_ln(x)
         else:
             x = x + self._pos_conv(x)
             x = self.enc_ln(x)
             for layer in self.layers:
-                x = layer(x)
+                x = layer(x, mask)
         return x.astype(jnp.float32)
 
 

@@ -66,8 +66,8 @@ def main() -> None:
     graphdef, state = nnx.split(model)
 
     @jax.jit
-    def encode(state, wave):
-        return nnx.merge(graphdef, state)(wave)
+    def encode(state, wave, lengths):
+        return nnx.merge(graphdef, state)(wave, lengths)
 
     def features(path: str):
         wave, sr = audio_lib.load_audio(path)
@@ -76,19 +76,15 @@ def main() -> None:
         if len(wave) / float(sr) >= args.size_max:
             return None
         wave = normalize_input(wave)
-        # Pad to a bucketed length for compile-cache friendliness.
+        # Bucket-pad for compile-cache friendliness; padded frames are
+        # masked out of attention inside the encoder.
         bucket = 16000
         padded = int(np.ceil(len(wave) / bucket)) * bucket
-        n_frames = _hubert_frames(len(wave))
+        n_frames = model.frame_count(len(wave))
+        lengths = np.asarray([len(wave)], np.int32)
         wave = np.pad(wave, (0, padded - len(wave)))
-        out = np.asarray(encode(state, wave[None]))[0]
+        out = np.asarray(encode(state, wave[None], lengths))[0]
         return out[:n_frames]
-
-    def _hubert_frames(n: int) -> int:
-        for k, s in ((10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2),
-                     (2, 2)):
-            n = (n - k) // s + 1
-        return n
 
     dataset = list(zip(*load_metadata(args.input)))
 
