@@ -5,7 +5,6 @@ import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from ..hparams.hp import Hparams
 

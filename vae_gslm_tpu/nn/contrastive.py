@@ -7,8 +7,6 @@ out of the softmax instead.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

@@ -22,7 +22,6 @@ reverse pass jits into the AR sampling `lax.scan` directly.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import NamedTuple, Optional, Tuple, Union
 

@@ -12,11 +12,9 @@ TPU-first: ``decode`` runs one AR step over a preallocated list of
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, List, Mapping, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from ..core.masked import Masked

@@ -10,8 +10,6 @@ Parity target: ``/root/reference/modules/diffusion/unet.py``:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

@@ -12,7 +12,7 @@ Note the reference's torch ``Adam(weight_decay=·)`` is L2-into-grad
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,17 +16,14 @@ masked sums accumulated via repeated backward).
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import nnx
 
 from ..data.loader import DataLoader
