@@ -59,16 +59,31 @@ class ARTRSampler:
                                      init_key=k_init, **step_kw)
             frame = out[:, -1:]
 
-            def body(carry, k_i):
-                frame, caches, pos = carry
-                nxt, caches = model.step(frame, caches, pos, k_i,
-                                         **step_kw)
-                return (nxt, caches, pos + 1), frame[:, 0]
-
+            # Segmented scan: decode attention for segment i reads only
+            # cache[:, :, :window_i] — ~30% less KV-cache HBM traffic
+            # than attending over the full preallocated cache each step
+            # (the dominant cost of AR decode at this scale).
+            max_len = tp + 1 + length
+            n_seg = max(1, min(4, length // 64))
+            bounds = [round(length * (i + 1) / n_seg)
+                      for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)
-            init_pos = jnp.asarray(tp + 1)
-            (_, _, _), frames = jax.lax.scan(
-                body, (frame, caches, init_pos), keys)
+            carry = (frame, caches, jnp.asarray(tp + 1))
+            seg_frames = []
+            start = 0
+            for end in bounds:
+                window = min(-(-(tp + 1 + end) // 64) * 64, max_len)
+
+                def body(carry, k_i, window=window):
+                    frame, caches, pos = carry
+                    nxt, caches = model.step(frame, caches, pos, k_i,
+                                             window=window, **step_kw)
+                    return (nxt, caches, pos + 1), frame[:, 0]
+
+                carry, fr = jax.lax.scan(body, carry, keys[start:end])
+                seg_frames.append(fr)
+                start = end
+            frames = jnp.concatenate(seg_frames, axis=0)
             frames = jnp.swapaxes(frames, 0, 1)       # (B, length, C)
             full = jnp.concatenate([enc.value, frames], axis=1)
             full_m = Masked.from_lengths(

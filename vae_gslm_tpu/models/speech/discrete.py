@@ -162,7 +162,8 @@ class DiscreteAR(nnx.Module):
         return self.transformer.init_cache(batch, max_len, dtype)
 
     def step(self, xv: Array, caches: List[LayerKVCache], pos: Array,
-             key: Array, temperature: float = 1.0
+             key: Array, temperature: float = 1.0,
+             window: Optional[int] = None,
              ) -> Tuple[Array, List[LayerKVCache]]:
         """One AR step over the static cache (``discrete.py:167-214``).
 
@@ -178,7 +179,8 @@ class DiscreteAR(nnx.Module):
         emb = self.embedding.lookup(ids)
         if self.f0 is not None:
             emb = jnp.concatenate([emb, f0.astype(emb.dtype)], axis=-1)
-        h, caches = self.transformer.decode(emb, caches, pos)
+        h, caches = self.transformer.decode(emb, caches, pos,
+                                            window=window)
         if self.single_vq:
             logits = h.astype(jnp.float32)
             sample = jax.random.categorical(key, logits / temperature,

@@ -263,6 +263,7 @@ class LVTR(nnx.Module):
              truncated_norm: Optional[Tuple[float, float]] = None,
              push_init_state: bool = False,
              init_key: Optional[Array] = None,
+             window: Optional[int] = None,
              ) -> Tuple[Array, List[LayerKVCache]]:
         """One AR step over the static KV cache (``lvtr.py:227-286``).
 
@@ -287,7 +288,8 @@ class LVTR(nnx.Module):
             init = self.initial_state(init_key, b)
             fused = jnp.concatenate(
                 [init.astype(fused.dtype), fused], axis=1)
-        h, caches = self.transformer.decode(fused, caches, pos)
+        h, caches = self.transformer.decode(fused, caches, pos,
+                                            window=window)
         hm = Masked.full(h)
         q_split = self.q_spliter(hm) if self.use_tokens else hm
         z = self.prior_head(q_split, k_prior, temperature=temperature,

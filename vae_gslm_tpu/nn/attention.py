@@ -39,7 +39,12 @@ NEG_INF = -1e30
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
-    """Static per-layer KV cache: ``(B, maxT, H, D)``."""
+    """Static per-layer KV cache: ``(B, H, maxT, D)``.
+
+    Head-major layout keeps each head's (T, D) plane contiguous —
+    sequential DMA for the Pallas decode kernel and better locality for
+    the XLA path.
+    """
 
     k: Array
     v: Array
@@ -47,16 +52,20 @@ class LayerKVCache:
     @classmethod
     def zeros(cls, batch: int, max_len: int, nheads: int, head_dim: int,
               dtype=jnp.float32) -> "LayerKVCache":
-        shape = (batch, max_len, nheads, head_dim)
+        shape = (batch, nheads, max_len, head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
 
     def write(self, pos: Array, k: Array, v: Array) -> "LayerKVCache":
         """Insert ``(B, S, H, D)`` new keys/values at position ``pos``."""
-        k = jax.lax.dynamic_update_slice(
-            self.k, k.astype(self.k.dtype), (0, pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, v.astype(self.v.dtype), (0, pos, 0, 0))
-        return LayerKVCache(k, v)
+        k = jnp.swapaxes(k.astype(self.k.dtype), 1, 2)  # (B, H, S, D)
+        v = jnp.swapaxes(v.astype(self.v.dtype), 1, 2)
+        return LayerKVCache(
+            jax.lax.dynamic_update_slice(self.k, k, (0, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(self.v, v, (0, 0, pos, 0)))
 
 
 def _split_heads(x: Array, nheads: int) -> Array:
@@ -211,6 +220,7 @@ class SelfAttention(nnx.Module):
 
     def decode_step(self, xv: Array, cache: LayerKVCache, pos: Array,
                     rpe_pair: Optional[Tuple[str, Any]] = None,
+                    window: Optional[int] = None,
                     ) -> Tuple[Array, LayerKVCache]:
         """One AR step over a preallocated cache.
 
@@ -226,15 +236,27 @@ class SelfAttention(nnx.Module):
         qh = _split_heads(q, self.nheads)
         cache = cache.write(pos, _split_heads(k, self.nheads),
                             _split_heads(v, self.nheads))
-        max_len = cache.k.shape[1]
+        slopes = None
+        if rpe_pair is not None and isinstance(rpe_pair[1], ALiBi):
+            slopes = rpe_pair[1].slopes[...]
+        if s == 1:
+            from ..ops.decode_attention import decode_attention
+            out = decode_attention(qh[:, 0], cache.k, cache.v, pos,
+                                   slopes, window=window)
+            out = out.reshape(out.shape[0], 1, self.dim)
+            return self.out_proj(out), cache
+        # Prefill (S > 1): dense attention over the cache.
+        max_len = cache.max_len
         k_pos = jnp.arange(max_len)
         q_pos = pos + jnp.arange(s)
         mask = (k_pos[None, :] <= q_pos[:, None])[None, None]  # (1,1,S,T)
         mask = jnp.broadcast_to(mask, (xv.shape[0], 1, s, max_len))
         bias = None
-        if rpe_pair is not None and rpe_pair[0] == "ALiBi":
+        if slopes is not None:
             bias = rpe_pair[1].bias(q_pos, k_pos)
-        out, _ = attend(qh, cache.k, cache.v, bias, mask)
+        kc = jnp.swapaxes(cache.k, 1, 2)  # (B, T, H, D)
+        vc = jnp.swapaxes(cache.v, 1, 2)
+        out, _ = attend(qh, kc, vc, bias, mask)
         return self.out_proj(_merge_heads(out)), cache
 
 

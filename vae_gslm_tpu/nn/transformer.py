@@ -95,14 +95,16 @@ class TransformerLayer(nnx.Module):
 
     def decode(self, xv: Array, cache: LayerKVCache, pos: Array,
                rpe_pair=None,
-               memory: Optional[Masked] = None
+               memory: Optional[Masked] = None,
+               window: Optional[int] = None
                ) -> Tuple[Array, LayerKVCache]:
         """Pre/post-LN step over the static cache (no masking needed:
         decode positions are always valid).  With ``memory``,
         cross-attention runs statelessly against the full memory."""
         if self.preln:
             h, cache = self.self_attn.decode_step(
-                self.norm1(xv), cache, pos, rpe_pair=rpe_pair)
+                self.norm1(xv), cache, pos, rpe_pair=rpe_pair,
+                window=window)
             x = xv + h
             if self.cross_attn is not None and memory is not None:
                 ca = self.cross_attn(Masked.full(self.norm2(x)), memory)
@@ -110,7 +112,8 @@ class TransformerLayer(nnx.Module):
             x = x + self._ffn(self.norm3(x))
         else:
             h, cache = self.self_attn.decode_step(xv, cache, pos,
-                                                  rpe_pair=rpe_pair)
+                                                  rpe_pair=rpe_pair,
+                                                  window=window)
             x = self.norm1(xv + h)
             if self.cross_attn is not None and memory is not None:
                 ca = self.cross_attn(Masked.full(x), memory)
@@ -235,7 +238,8 @@ class TransformerLayerStack(nnx.Module):
         return memory
 
     def decode(self, xv: Array, caches: List[LayerKVCache], pos: Array,
-               memory: Optional[Masked] = None
+               memory: Optional[Masked] = None,
+               window: Optional[int] = None
                ) -> Tuple[Array, List[LayerKVCache]]:
         """One AR step: xv (B, S, C) raw input frames at absolute
         positions [pos, pos+S); returns final hidden (B, S, C) and
@@ -249,7 +253,7 @@ class TransformerLayerStack(nnx.Module):
         new_caches = []
         for layer, cache in zip(self.layers, caches):
             xv, cache = layer.decode(xv, cache, pos, rpe_pair=rpe_pair,
-                                     memory=memory)
+                                     memory=memory, window=window)
             new_caches.append(cache)
         if self.final_norm is not None:
             xv = self.final_norm(xv)

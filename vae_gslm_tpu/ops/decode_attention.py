@@ -1,0 +1,56 @@
+"""Single-query decode attention over a static KV cache.
+
+The AR decode step is KV-cache-bandwidth-bound: at the flagship
+operating point (B=128, 16 heads, d=64, cache 651) each step streams
+~5.5 GB of cache through HBM.  Two levers applied here:
+
+  * head-major ``(B, H, T, D)`` cache layout (contiguous per-head
+    planes);
+  * a **static window**: the sampler splits its scan into segments and
+    attends only over ``cache[:, :, :window]`` for the segment's maximal
+    position — unfilled cache slots beyond the window are never read.
+    With 4 segments over a 150→650 position ramp this cuts cache reads
+    ~30% at full XLA streaming efficiency (see
+    ``inference/speech/sampler.py``).
+
+ALiBi bias is synthesized from iota (slopes are negative, symmetric
+|distance| as in ``nn.positions.ALiBi``); softmax in fp32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+def decode_attention(q: Array, k_cache: Array, v_cache: Array,
+                     pos: Array, slopes: Optional[Array],
+                     window: Optional[int] = None) -> Array:
+    """q: (B, H, D); caches: (B, H, T, D); pos: scalar absolute query
+    position (keys ≤ pos are valid); slopes: (H,) negative ALiBi slopes
+    or None; window: static prefix length to attend over (must satisfy
+    window > pos at runtime).  Returns (B, H, D)."""
+    if window is not None and window < k_cache.shape[2]:
+        k_cache = k_cache[:, :, :window]
+        v_cache = v_cache[:, :, :window]
+    t = k_cache.shape[2]
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhd,bhtd->bht", q, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    k_pos = jnp.arange(t)
+    if slopes is not None:
+        dist = jnp.abs(k_pos - pos).astype(jnp.float32)
+        logits = logits + (slopes.astype(jnp.float32)[None, :, None]
+                           * dist[None, None, :])
+    mask = k_pos[None, None, :] <= pos
+    logits = jnp.where(mask, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bht,bhtd->bhd", w.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
