@@ -60,7 +60,9 @@ def main() -> None:
         jnp.asarray(np.concatenate([toks, mel], -1)),
         jnp.full((batch,), tp, np.int32))
 
-    sampler = ARTRSampler(model)
+    use_int8 = os.environ.get("BENCH_KV_INT8", "1") != "0"
+    kv_dtype = jnp.int8 if use_int8 else None
+    sampler = ARTRSampler(model, kv_dtype=kv_dtype)
     g_graphdef, g_state = nnx.split(generator)
 
     @jax.jit
@@ -90,7 +92,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "3s->10s continuation real-time factor per chip "
                   f"(batch {batch}, full pipeline: AR 500 steps + "
-                  "DDIM-100 + HiFi-GAN)",
+                  "DDIM-100 + HiFi-GAN"
+                  + (", int8 KV cache" if use_int8 else "") + ")",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),

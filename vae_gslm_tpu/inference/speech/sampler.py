@@ -25,10 +25,15 @@ Array = jax.Array
 
 
 class ARTRSampler:
-    """Sampler for LVTR-family models."""
+    """Sampler for LVTR-family models.
 
-    def __init__(self, model):
+    ``kv_dtype``: cache dtype; ``jnp.int8`` enables the quantized KV
+    cache (halves decode HBM traffic, small numeric delta).
+    """
+
+    def __init__(self, model, kv_dtype=None):
         self.model = model
+        self.kv_dtype = kv_dtype
         self.has_utterance = getattr(model, "utterance_net", None) \
             is not None
         self.use_tokens = getattr(model, "use_tokens", False)
@@ -50,7 +55,8 @@ class ARTRSampler:
             enc = model.encode(prior, k_enc,
                                temperature=encoder_temperature)
             b, tp = enc.value.shape[0], enc.value.shape[1]
-            caches = model.init_cache(b, tp + 1 + length)
+            caches = model.init_cache(b, tp + 1 + length,
+                                      dtype=self.kv_dtype)
             step_kw = dict(temperature=temperature,
                            token_temperature=token_temperature,
                            truncated_norm=truncated_norm)
@@ -64,7 +70,7 @@ class ARTRSampler:
             # than attending over the full preallocated cache each step
             # (the dominant cost of AR decode at this scale).
             max_len = tp + 1 + length
-            n_seg = max(1, min(4, length // 64))
+            n_seg = max(1, min(8, length // 48))
             bounds = [round(length * (i + 1) / n_seg)
                       for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)

@@ -36,36 +36,81 @@ Array = jax.Array
 NEG_INF = -1e30
 
 
+def _quantize_i8(x: Array) -> Tuple[Array, Array]:
+    """Per-(…, t) symmetric int8 quantization over the last axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale[..., 0]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
     """Static per-layer KV cache: ``(B, H, maxT, D)``.
 
     Head-major layout keeps each head's (T, D) plane contiguous —
-    sequential DMA for the Pallas decode kernel and better locality for
-    the XLA path.
+    sequential DMA and better locality for the decode path.  Optional
+    int8 mode stores per-(b, h, t) symmetric scales alongside
+    (AR decode is KV-bandwidth-bound; int8 halves the cache traffic).
     """
 
     k: Array
     v: Array
+    k_scale: Optional[Array] = None   # (B, H, maxT) when int8
+    v_scale: Optional[Array] = None
 
     @classmethod
     def zeros(cls, batch: int, max_len: int, nheads: int, head_dim: int,
               dtype=jnp.float32) -> "LayerKVCache":
         shape = (batch, nheads, max_len, head_dim)
+        if dtype == jnp.int8:
+            sshape = (batch, nheads, max_len)
+            return cls(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     def write(self, pos: Array, k: Array, v: Array) -> "LayerKVCache":
         """Insert ``(B, S, H, D)`` new keys/values at position ``pos``."""
-        k = jnp.swapaxes(k.astype(self.k.dtype), 1, 2)  # (B, H, S, D)
-        v = jnp.swapaxes(v.astype(self.v.dtype), 1, 2)
+        k = jnp.swapaxes(k, 1, 2)  # (B, H, S, D)
+        v = jnp.swapaxes(v, 1, 2)
+        if self.quantized:
+            kq, ks = _quantize_i8(k)
+            vq, vs = _quantize_i8(v)
+            return LayerKVCache(
+                jax.lax.dynamic_update_slice(self.k, kq, (0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(self.v, vq, (0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(self.k_scale, ks,
+                                             (0, 0, pos)),
+                jax.lax.dynamic_update_slice(self.v_scale, vs,
+                                             (0, 0, pos)))
         return LayerKVCache(
-            jax.lax.dynamic_update_slice(self.k, k, (0, 0, pos, 0)),
-            jax.lax.dynamic_update_slice(self.v, v, (0, 0, pos, 0)))
+            jax.lax.dynamic_update_slice(
+                self.k, k.astype(self.k.dtype), (0, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(
+                self.v, v.astype(self.v.dtype), (0, 0, pos, 0)))
+
+    def dense_kv(self) -> Tuple[Array, Array]:
+        """Dequantized (B, T, H, D) views for the prefill path."""
+        if self.quantized:
+            k = (self.k.astype(jnp.float32)
+                 * self.k_scale[..., None]).astype(jnp.bfloat16)
+            v = (self.v.astype(jnp.float32)
+                 * self.v_scale[..., None]).astype(jnp.bfloat16)
+        else:
+            k, v = self.k, self.v
+        return jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
 
 
 def _split_heads(x: Array, nheads: int) -> Array:
@@ -242,7 +287,9 @@ class SelfAttention(nnx.Module):
         if s == 1:
             from ..ops.decode_attention import decode_attention
             out = decode_attention(qh[:, 0], cache.k, cache.v, pos,
-                                   slopes, window=window)
+                                   slopes, window=window,
+                                   k_scale=cache.k_scale,
+                                   v_scale=cache.v_scale)
             out = out.reshape(out.shape[0], 1, self.dim)
             return self.out_proj(out), cache
         # Prefill (S > 1): dense attention over the cache.
@@ -254,8 +301,7 @@ class SelfAttention(nnx.Module):
         bias = None
         if slopes is not None:
             bias = rpe_pair[1].bias(q_pos, k_pos)
-        kc = jnp.swapaxes(cache.k, 1, 2)  # (B, T, H, D)
-        vc = jnp.swapaxes(cache.v, 1, 2)
+        kc, vc = cache.dense_kv()  # (B, T, H, D)
         out, _ = attend(qh, kc, vc, bias, mask)
         return self.out_proj(_merge_heads(out)), cache
 

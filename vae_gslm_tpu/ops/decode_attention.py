@@ -30,19 +30,29 @@ NEG_INF = -1e30
 
 def decode_attention(q: Array, k_cache: Array, v_cache: Array,
                      pos: Array, slopes: Optional[Array],
-                     window: Optional[int] = None) -> Array:
+                     window: Optional[int] = None,
+                     k_scale: Optional[Array] = None,
+                     v_scale: Optional[Array] = None) -> Array:
     """q: (B, H, D); caches: (B, H, T, D); pos: scalar absolute query
     position (keys ≤ pos are valid); slopes: (H,) negative ALiBi slopes
     or None; window: static prefix length to attend over (must satisfy
-    window > pos at runtime).  Returns (B, H, D)."""
+    window > pos at runtime); k_scale/v_scale: (B, H, T) int8
+    dequantization scales.  Returns (B, H, D)."""
     if window is not None and window < k_cache.shape[2]:
         k_cache = k_cache[:, :, :window]
         v_cache = v_cache[:, :, :window]
+        if k_scale is not None:
+            k_scale = k_scale[:, :, :window]
+            v_scale = v_scale[:, :, :window]
     t = k_cache.shape[2]
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-    logits = jnp.einsum("bhd,bhtd->bht", q, k_cache,
+    qc = q.astype(jnp.bfloat16) if k_cache.dtype == jnp.int8 else q
+    logits = jnp.einsum("bhd,bhtd->bht", qc,
+                        k_cache.astype(qc.dtype),
                         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.astype(jnp.float32)
     k_pos = jnp.arange(t)
     if slopes is not None:
         dist = jnp.abs(k_pos - pos).astype(jnp.float32)
@@ -51,6 +61,14 @@ def decode_attention(q: Array, k_cache: Array, v_cache: Array,
     mask = k_pos[None, None, :] <= pos
     logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bht,bhtd->bhd", w.astype(v_cache.dtype), v_cache,
-                     preferred_element_type=jnp.float32)
+    if v_scale is not None:
+        # Fold the per-key scale into the attention weights so the int8
+        # values are consumed directly by the weighted sum.
+        wv = (w * v_scale.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.einsum("bht,bhtd->bhd", wv,
+                         v_cache.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bht,bhtd->bhd", w.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
