@@ -98,7 +98,11 @@ class SpeechInferer(BaseInferer):
                 self.hp_model.vocoder.path, hp_rescale=self.mel_rescale)
             self.load_model(input_dim=self.vocoder.hp.n_mels)
             self.input_key = "mel"
-            self.sampler = ARTRSampler(self.model)
+            kv_dtype = None
+            if hp.get("kv_cache_dtype", None) == "int8":
+                import jax.numpy as jnp
+                kv_dtype = jnp.int8
+            self.sampler = ARTRSampler(self.model, kv_dtype=kv_dtype)
         self.use_tokens = getattr(self.model, "use_tokens", False)
         if self.use_tokens:
             self.hp_hubert = Hparams(

@@ -121,8 +121,9 @@ class DiscreteARSampler:
     """Sampler for the token-LM baseline (``inference/speech/hubert.py``
     path): SOS prefill + scan, decode via the frozen codec."""
 
-    def __init__(self, model):
+    def __init__(self, model, kv_dtype=None):
         self.model = model
+        self.kv_dtype = kv_dtype
         self._compiled = {}
 
     def _build(self, length: int, temperature: float):
@@ -147,20 +148,35 @@ class DiscreteARSampler:
                     [jnp.zeros((b, 1, 1), f0.dtype), f0], axis=1)
                 inp = jnp.concatenate(
                     [inp[..., None].astype(jnp.float32), f0_in], -1)
-            caches = model.init_cache(b, tp + 1 + length)
+            caches = model.init_cache(b, tp + 1 + length,
+                                      dtype=self.kv_dtype)
             out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
                                      temperature=temperature)
             frame = out[:, -1:]
 
-            def body(carry, k_i):
-                frame, caches, pos = carry
-                nxt, caches = model.step(frame, caches, pos, k_i,
-                                         temperature=temperature)
-                return (nxt, caches, pos + 1), frame[:, 0]
-
+            # Windowed segmented scan (see ARTRSampler).
+            max_len = tp + 1 + length
+            n_seg = max(1, min(8, length // 48))
+            bounds = [round(length * (i + 1) / n_seg)
+                      for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)
-            (_, _, _), frames = jax.lax.scan(
-                body, (frame, caches, jnp.asarray(tp + 1)), keys)
+            carry = (frame, caches, jnp.asarray(tp + 1))
+            seg_frames = []
+            start = 0
+            for end in bounds:
+                win = min(-(-(tp + 1 + end) // 64) * 64, max_len)
+
+                def body(carry, k_i, win=win):
+                    frame, caches, pos = carry
+                    nxt, caches = model.step(frame, caches, pos, k_i,
+                                             temperature=temperature,
+                                             window=win)
+                    return (nxt, caches, pos + 1), frame[:, 0]
+
+                carry, fr = jax.lax.scan(body, carry, keys[start:end])
+                seg_frames.append(fr)
+                start = end
+            frames = jnp.concatenate(seg_frames, axis=0)
             frames = jnp.swapaxes(frames, 0, 1)
             if has_f0:
                 prior_full = jnp.concatenate(
