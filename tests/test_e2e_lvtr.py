@@ -323,3 +323,14 @@ def test_likelihood_estimator_e2e(corpus, vocoder_dir,
     assert scores.shape[0] >= 2
     assert np.isfinite(scores).all()
     assert (scores <= 0).all()
+
+    # ---- reconstruction evaluator on the same checkpoint -------------
+    rhp = Hparams.from_yaml(icfg)
+    rhp.identifier = (
+        "inference.speech.reconstruction.ReconstructionEvaluator")
+    rhp.tasks = ["f0mse", "mcd"]
+    from vae_gslm_tpu.inference.speech.reconstruction import \
+        ReconstructionEvaluator
+    ev = ReconstructionEvaluator(rhp)
+    out = ev.run(max_batches=1)
+    assert "mcd" in out and np.isfinite(out["mcd"])
