@@ -37,6 +37,26 @@ class BaseInferer(BaseTrainer):
         if not os.path.exists(ckpt):
             from ..training.checkpoint import get_last_ckpt
             ckpt = get_last_ckpt(self.hp.ckpt_path)
-        load_compact(model, ckpt)
+        if ckpt.endswith(".npz"):
+            load_compact(model, ckpt)
+        else:
+            # Reference torch compact checkpoint (released artifacts).
+            import torch
+
+            from ..models import convert_torch as ct
+            from ..models.speech.lvtr import LVTR
+            from ..models.tts.lvtr import LVTTS
+
+            sd = torch.load(ckpt, map_location="cpu",
+                            weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            if isinstance(model, LVTTS):
+                ct.load_torch_lvtts(model, sd)
+            elif isinstance(model, LVTR):
+                ct.load_torch_lvtr(model, sd)
+            else:
+                raise NotImplementedError(
+                    f"torch conversion for {type(model).__name__}")
         self.model = model
         return model

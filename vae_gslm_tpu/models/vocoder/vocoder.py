@@ -209,11 +209,11 @@ class HuBERTIO(Vocoder):
         hp.check_arg_in_hparams("model", "vocoder")
         voc = cls(hp, **kwargs)
         ckpt = _find_ckpt(path)
-        if not ckpt.endswith(".npz"):
-            raise NotImplementedError(
-                "HuBERTIO torch checkpoint conversion is not wired; "
-                "export a native .npz with save_pretrained.")
-        load_compact(voc.model, ckpt)
+        if ckpt.endswith(".npz"):
+            load_compact(voc.model, ckpt)
+        else:
+            from ..convert_torch import load_torch_hubert_decoder
+            load_torch_hubert_decoder(voc.model, _load_ckpt_file(ckpt))
         return voc
 
     def save_pretrained(self, path: str) -> None:
