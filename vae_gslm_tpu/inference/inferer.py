@@ -44,6 +44,7 @@ class BaseInferer(BaseTrainer):
             import torch
 
             from ..models import convert_torch as ct
+            from ..models.speech.discrete import DiscreteAR
             from ..models.speech.lvtr import LVTR
             from ..models.tts.lvtr import LVTTS
 
@@ -55,6 +56,8 @@ class BaseInferer(BaseTrainer):
                 ct.load_torch_lvtts(model, sd)
             elif isinstance(model, LVTR):
                 ct.load_torch_lvtr(model, sd)
+            elif isinstance(model, DiscreteAR):
+                ct.load_torch_discrete_ar(model, sd)
             else:
                 raise NotImplementedError(
                     f"torch conversion for {type(model).__name__}")

@@ -524,3 +524,27 @@ def export_torch_hubert_decoder(model) -> Dict[str, np.ndarray]:
         _x_bottleneck(out, model.dp, "dp")
     _x_cond_bottleneck_unet(out, model.decoder.model, "decoder.model")
     return out
+
+
+def load_torch_discrete_ar(model, state_dict: Dict) -> None:
+    """Reference DiscreteAR state_dict → ours
+    (``models/speech/discrete.py``: Sequential(embedding, stack))."""
+    sd = _SD(state_dict)
+    if model.single_vq:
+        model.embedding.table[...] = jnp.asarray(
+            sd("transformer.0.weight"))
+    else:
+        for i in range(model.embedding.num_quantizers):
+            tab = np.asarray(model.embedding.tables[...])
+            tab[i] = sd(f"transformer.0.embeddings.{i}.weight")
+            model.embedding.tables[...] = jnp.asarray(tab)
+    load_transformer_stack(model.transformer, sd, "transformer.1")
+    if model.f0_dense is not None:
+        load_dense(model.f0_dense, sd, "f0_dense")
+    if not model.single_vq:
+        arc = model.arc_transformer
+        arc.pos_encoding[...] = jnp.asarray(sd("arc_transformer.pos_encoding"))
+        arc.embedding.table[...] = jnp.asarray(
+            sd("arc_transformer.embedding.weight"))
+        load_transformer_stack(arc.transformer, sd,
+                               "arc_transformer.transformer")
