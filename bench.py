@@ -62,6 +62,16 @@ def main() -> None:
 
     use_int8 = os.environ.get("BENCH_KV_INT8", "1") != "0"
     kv_dtype = jnp.int8 if use_int8 else None
+    if os.environ.get("BENCH_BF16_PARAMS", "1") != "0":
+        # Pre-cast trainable params to bf16 so the AR scan reads half
+        # the weight bytes (norm/distribution math still runs fp32 via
+        # in-module casts; diffusion schedule buffers stay fp32).
+        from flax import nnx as _nnx
+        _, p, r = _nnx.split(model, _nnx.Param, ...)
+        p = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p)
+        _nnx.update(model, p)
     sampler = ARTRSampler(model, kv_dtype=kv_dtype)
     g_graphdef, g_state = nnx.split(generator)
 
