@@ -182,6 +182,18 @@ class LVTTSTrainer(BaseTrainer):
                 {f"val/{k}": v / length for k, v in totals.items()},
                 step)
 
+    def resume(self, path: str) -> None:
+        """Resume model params from a compact npz checkpoint."""
+        from ...training.checkpoint import load_compact
+        load_compact(self.model, path)
+        self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
+                                                ...)
+        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.rest = mesh_lib.replicate_tree(rest, self.mesh)
+        self.opt_state = mesh_lib.replicate_tree(
+            self.tx.init(self.params), self.mesh)
+        self._train_step = None
+
     def save_checkpoint(self, path: str) -> None:
         self.sync_model()
         save_compact(self.model, path)

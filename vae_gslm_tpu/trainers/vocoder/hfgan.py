@@ -207,6 +207,19 @@ class HiFiGANTrainer(BaseTrainer):
         if count:
             self.logger.log_scalar("val/mel", total / count, step)
 
+    def resume(self, path: str) -> None:
+        """Resume generator params from a compact npz (discriminators
+        restart — matching the reference compact-checkpoint contract
+        which stores the generator only)."""
+        from ...training.checkpoint import load_compact
+        load_compact(self.generator, path)
+        self.g_graphdef, g_params, self._g_rest = nnx.split(
+            self.generator, nnx.Param, ...)
+        self.g_params = mesh_lib.replicate_tree(g_params, self.mesh)
+        self.opt_g = mesh_lib.replicate_tree(
+            self.tx_g.init(self.g_params), self.mesh)
+        self._train_step = None
+
     def save_checkpoint(self, path: str) -> None:
         self.sync_model()
         save_compact(self.generator, path)

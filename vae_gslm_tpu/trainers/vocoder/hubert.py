@@ -186,6 +186,17 @@ class HuBERTDecoderTrainer(BaseTrainer):
                 self.logger.log_audio(f"reconstruct/{i}", wav[:ln], step,
                                       sr)
 
+    def resume(self, path: str) -> None:
+        """Resume model params from a compact npz checkpoint."""
+        from ...training.checkpoint import load_compact
+        load_compact(self.model, path)
+        self.graphdef, params, self._rest = nnx.split(
+            self.model, nnx.Param, ...)
+        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.opt_state = mesh_lib.replicate_tree(
+            self.tx.init(self.params), self.mesh)
+        self._train_step = None
+
     def save_checkpoint(self, path: str) -> None:
         self.sync_model()
         save_compact(self.model, path)
