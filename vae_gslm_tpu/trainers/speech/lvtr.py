@@ -35,7 +35,8 @@ from ...parallel import mesh as mesh_lib
 from ...training.checkpoint import (load_compact, save_compact,
                                     save_train_state)
 from ...training.optimizer import create_optimizer
-from ...training.trainer import BaseTrainer, init_weights
+from ...training.trainer import (BaseTrainer, bucket_pad_batch,
+                                 init_weights)
 
 Array = jax.Array
 
@@ -262,7 +263,8 @@ class LVTRTrainer(BaseTrainer):
             if i >= limit:
                 break
             keep = {"mel", "tokens", "cropped_mel_utt", "cropped_mel"}
-            jb = {k: v for k, v in batch.items() if k in keep}
+            jb = bucket_pad_batch(
+                {k: v for k, v in batch.items() if k in keep})
             self.rng, key = jax.random.split(self.rng)
             m = self._eval_step(self.params, self.rest, jb, key)
             n = float(m["length"])

@@ -78,6 +78,30 @@ def stack_batches(batches) -> Any:
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
 
 
+def bucket_pad_batch(batch: Dict[str, Any], bucket: int = 256
+                     ) -> Dict[str, Any]:
+    """Pad every Masked entry's time axis up to a multiple of
+    ``bucket`` (zeros, lengths unchanged).  Bounds the number of
+    distinct compiled shapes when eval batches have data-dependent
+    lengths (e.g. the reference's ``pad: multiple_of`` val configs)."""
+    from ..core.masked import Masked
+
+    out: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if isinstance(v, Masked) and v.time_axis == 1:
+            value = np.asarray(v.value)
+            t = value.shape[1]
+            target = -(-t // bucket) * bucket
+            if target != t:
+                pad = [(0, 0), (0, target - t)] + \
+                    [(0, 0)] * (value.ndim - 2)
+                value = np.pad(value, pad)
+            out[k] = Masked(value, np.asarray(v.lengths), 1)
+        else:
+            out[k] = v
+    return out
+
+
 class BaseTrainer:
     """Owns the mesh, data, optimizer, logger and the step loop."""
 
