@@ -1,0 +1,37 @@
+"""Multi-device data-parallel training over the virtual 8-CPU mesh.
+
+Mirrors the driver's `dryrun_multichip` check inside the test suite so
+sharding regressions are caught by pytest too.
+"""
+import sys
+
+import jax
+import pytest
+
+
+def test_dryrun_multichip_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_shard_batch_places_on_mesh():
+    import numpy as np
+
+    from vae_gslm_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = mesh_lib.create_mesh(8)
+    batch = {"x": np.zeros((16, 4), np.float32),
+             "scalar": np.asarray(3.0)}
+    out = mesh_lib.shard_batch(batch, mesh)
+    sharding = out["x"].sharding
+    assert sharding.is_fully_replicated is False
+    assert out["scalar"].sharding.is_fully_replicated
+    # Uneven batch falls back to replication rather than failing.
+    out2 = mesh_lib.shard_batch({"y": np.zeros((10, 2))}, mesh)
+    assert out2["y"].sharding.is_fully_replicated
