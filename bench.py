@@ -41,11 +41,13 @@ def main() -> None:
         root, "configs", "train", "vocoder",
         "hfgan_16k_50hz_librispeech.yaml"))
 
-    model = LVTR(hp.model, input_dim=80, rngs=nnx.Rngs(0))
+    model = nnx.jit(
+        lambda: LVTR(hp.model, input_dim=80, rngs=nnx.Rngs(0)))()
     # Inference operating point (configs/infer/speech/vae-gslm.yaml).
     model.decoder.override_sampling(sampling_timesteps=100,
                                     ddim_sampling_eta=0.5)
-    generator = Generator(voc_hp.model.generator, rngs=nnx.Rngs(1))
+    generator = nnx.jit(
+        lambda: Generator(voc_hp.model.generator, rngs=nnx.Rngs(1)))()
     generator.remove_weight_norm()
 
     mel_rate = 50
