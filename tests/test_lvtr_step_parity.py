@@ -1,0 +1,109 @@
+"""Deepest AR-consistency check: LVTR.step (static-cache decode path,
+temperature 0, flow-free, token-free config) must reproduce the
+teacher-forced prior means position-by-position."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.models.speech.lvtr import LVTR
+
+HP = Hparams.from_yaml("""
+latent_dim: 4
+encoder:
+    identifier: BottleNeckResNet
+    num_layers: 1
+    resample_rates: [1]
+    resample_ksize: [1]
+    init_channel: 16
+    out_channels: [16]
+    hidden_channels: [32]
+    final_norm: true
+    layer:
+        causal_padding: true
+        kernel_size: 3
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+decoder:
+    diffusion:
+        timesteps: 8
+        loss_type: l1
+        objective: pred_noise
+        beta_schedule: {identifier: cosine}
+        identifier: ConditionalBottleNeckUNet
+    cond_unet:
+        unet:
+            condition_dim: 8
+            num_layers: 1
+            resample_rates: [1]
+            resample_ksize: [1]
+            init_channel: 16
+            out_channels: [16]
+            hidden_channels: [32]
+            conditional: [true]
+            final_norm: true
+            layer:
+                causal_padding: true
+                kernel_size: 3
+                norm: {identifier: InstanceNorm, eps: 1.0e-6}
+                activation: {identifier: SiLU}
+                condition_type: concat
+        time_embedding:
+            dim: 16
+            maxpos: 8
+            activation: {identifier: SiLU}
+transformer:
+    bias: false
+    rpe: {identifier: ALiBi, maxpos: 64}
+    num_layers: 2
+    layer:
+        ffd_size: 32
+        dim: 16
+        norm: {identifier: RMSNorm, eps: 1.0e-6}
+        activation: {identifier: GELU}
+        self_attn: {nheads: 4, causal: true}
+""")
+
+N_MELS = 10
+
+
+def test_step_matches_teacher_forced_prior_means():
+    m = LVTR(HP, input_dim=N_MELS, rngs=nnx.Rngs(0))
+    assert not m.use_tokens and m.transformer_flow is None
+    b, t = 2, 7
+    rng = np.random.RandomState(0)
+    mel = Masked.full(jnp.asarray(rng.randn(b, t, N_MELS), jnp.float32))
+    key = jax.random.PRNGKey(3)
+    init_key = jax.random.PRNGKey(9)
+    latents = m.encode(mel, key, temperature=0.0)
+
+    # Teacher-forced prior means over [init, z_0..z_{t-2}].
+    init = m.initial_state(init_key, b)
+    shifted = latents.shift_right(init).apply_mask()
+    trunk = m.transformer(shifted)
+    prior = m.prior_head(trunk, key, temperature=0.0)
+    expected = np.asarray(prior.mean.value)          # (B, t, latent)
+
+    # Static-cache prefill over [init, z_0..z_{t-1}] at temperature 0.
+    caches = m.init_cache(b, t + 1, dtype=jnp.float32)
+    out, _ = m.step(latents.value, caches, jnp.asarray(0), key,
+                    temperature=0.0, push_init_state=True,
+                    init_key=init_key)
+    got = np.asarray(out)                            # (B, t+1, latent)
+    np.testing.assert_allclose(got[:, :t], expected, rtol=1e-4,
+                               atol=1e-5)
+
+    # And the incremental single-frame path agrees with prefill.
+    caches2 = m.init_cache(b, t + 1, dtype=jnp.float32)
+    out2, caches2 = m.step(latents.value[:, :4], caches2,
+                           jnp.asarray(0), key, temperature=0.0,
+                           push_init_state=True, init_key=init_key)
+    np.testing.assert_allclose(np.asarray(out2), got[:, :5], rtol=1e-4,
+                               atol=1e-5)
+    for i in range(4, t):
+        nxt, caches2 = m.step(latents.value[:, i: i + 1], caches2,
+                              jnp.asarray(i + 1), key, temperature=0.0)
+        np.testing.assert_allclose(np.asarray(nxt), got[:, i + 1: i + 2],
+                                   rtol=1e-4, atol=1e-4)
