@@ -228,3 +228,28 @@ def test_sincos_matches_reference():
     x = jnp.zeros((2, 5, 16))
     y = np.asarray(m(x))
     np.testing.assert_allclose(y[0], p[:5], atol=1e-6)
+
+
+def test_rotary_sincos_decode_offset_matches_full():
+    """Rotary/SinCos must rotate at true absolute positions in the
+    KV-cache decode path (offset = pos), matching the full forward."""
+    import pytest
+
+    for ident in ("Rotary", "SinCos"):
+        hp = _stack_hp(rpe=False)
+        hp.rpe = Hparams(identifier=ident, maxpos=64)
+        m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+        b, t, c = 2, 8, 8
+        x = masked(b, t, c, lengths=(t, t))
+        full = np.asarray(m(x).value)
+
+        caches = m.init_cache(b, max_len=t, dtype=jnp.float32)
+        h, caches = m.decode(x.value[:, :3], caches, jnp.asarray(0))
+        outs = [h]
+        for i in range(3, t):
+            h, caches = m.decode(x.value[:, i:i + 1], caches,
+                                 jnp.asarray(i))
+            outs.append(h)
+        dec = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        np.testing.assert_allclose(dec, full, rtol=1e-4, atol=1e-5,
+                                   err_msg=ident)

@@ -107,3 +107,32 @@ def test_step_matches_teacher_forced_prior_means():
                               jnp.asarray(i + 1), key, temperature=0.0)
         np.testing.assert_allclose(np.asarray(nxt), got[:, i + 1: i + 2],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_sampler_return_attn_maps():
+    """ARTRSampler(return_attn=True) emits per-layer per-step maps
+    (B, L, H, steps, max_len) whose rows softmax-normalize over the
+    causal prefix (reference trainers/speech/sampler.py declares this
+    output but never fills it; we do)."""
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    m = LVTR(HP, input_dim=N_MELS, rngs=nnx.Rngs(0))
+    b, tp, length = 2, 5, 4
+    rng = np.random.RandomState(1)
+    mel = Masked.full(jnp.asarray(rng.randn(b, tp, N_MELS), jnp.float32))
+    sampler = ARTRSampler(m)
+    out = sampler(length, mel, jax.random.PRNGKey(0), return_attn=True)
+    attn = np.asarray(out["attn"])
+    max_len = tp + 1 + length
+    assert attn.shape == (b, 2, 4, length, max_len)
+    # Step s queries absolute position tp+1+s, attending over keys at
+    # positions <= tp+1+s: rows sum to 1 over the filled prefix and are
+    # exactly zero beyond it.
+    np.testing.assert_allclose(attn.sum(-1), 1.0, atol=2e-2)
+    for s in range(length - 1):
+        assert np.abs(attn[..., s, tp + 2 + s:]).max() < 1e-6
+    # And the audio output is unchanged vs the windowed no-attn path.
+    ref = sampler(length, mel, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out["output"].value),
+                               np.asarray(ref["output"].value),
+                               rtol=1e-3, atol=1e-3)

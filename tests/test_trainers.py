@@ -498,4 +498,21 @@ data:
                           max_frames=8, min_frames=2)
     assert out["output"].value.shape[0] == 2
     assert np.isfinite(np.asarray(out["output"].value)).all()
+    # Attention-map collection during sampling (reference
+    # trainers/tts/sampler.py:26-60 parity): per-layer self/cross maps
+    # plus the text-encoder maps, rows softmax-normalized.
+    out = trainer.sampler(text, spkr, jax.random.PRNGKey(0),
+                          max_frames=8, min_frames=2, return_attn=True)
+    sa = np.asarray(out["self_attn"])    # (B, L, H, Q, KV)
+    ca = np.asarray(out["cross_attn"])
+    ta = np.asarray(out["text_self_attn"])
+    assert sa.shape == (2, 1, 4, 9, 9)
+    assert ca.shape == (2, 1, 4, 9, 6)
+    assert ta.shape == (2, 1, 4, 6, 6)
+    np.testing.assert_allclose(sa.sum(-1), 1.0, atol=2e-2)
+    np.testing.assert_allclose(ca[0].sum(-1), 1.0, atol=2e-2)
+    # Validation sampling path incl. attention figures.
+    trainer.hp.logging.num_samples = 1
+    trainer.hp.logging.plot_attn = True
+    trainer.validation_run(step=3)
     logger.close()

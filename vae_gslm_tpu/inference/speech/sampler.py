@@ -41,7 +41,7 @@ class ARTRSampler:
 
     def _build(self, length: int, temperature: float,
                token_temperature: float, truncated_norm,
-               encoder_temperature: float):
+               encoder_temperature: float, return_attn: bool):
         graphdef, state = nnx.split(self.model)
         has_utt = self.has_utterance
         use_tokens = self.use_tokens
@@ -68,25 +68,40 @@ class ARTRSampler:
             # Segmented scan: decode attention for segment i reads only
             # cache[:, :, :window_i] — ~30% less KV-cache HBM traffic
             # than attending over the full preallocated cache each step
-            # (the dominant cost of AR decode at this scale).
+            # (the dominant cost of AR decode at this scale).  With
+            # ``return_attn`` a single full-window segment is used so
+            # the per-step attention rows have one static shape.
             max_len = tp + 1 + length
-            n_seg = max(1, min(8, length // 48))
+            n_seg = 1 if return_attn else max(1, min(8, length // 48))
             bounds = [round(length * (i + 1) / n_seg)
                       for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)
             carry = (frame, caches, jnp.asarray(tp + 1))
             seg_frames = []
+            seg_attn = []
             start = 0
             for end in bounds:
                 window = min(-(-(tp + 1 + end) // 64) * 64, max_len)
 
                 def body(carry, k_i, window=window):
                     frame, caches, pos = carry
-                    nxt, caches = model.step(frame, caches, pos, k_i,
-                                             window=window, **step_kw)
-                    return (nxt, caches, pos + 1), frame[:, 0]
+                    res = model.step(frame, caches, pos, k_i,
+                                     window=window,
+                                     return_attn=return_attn, **step_kw)
+                    nxt, caches = res[:2]
+                    ys = frame[:, 0]
+                    if return_attn:
+                        # (L,B,H,1,T) -> (L,B,H,T) bf16 scan rows.
+                        ys = (ys, res[2][:, :, :, 0].astype(
+                            jnp.bfloat16))
+                    return (nxt, caches, pos + 1), ys
 
-                carry, fr = jax.lax.scan(body, carry, keys[start:end])
+                carry, ys = jax.lax.scan(body, carry, keys[start:end])
+                if return_attn:
+                    fr, at = ys
+                    seg_attn.append(at)
+                else:
+                    fr = ys
                 seg_frames.append(fr)
                 start = end
             frames = jnp.concatenate(seg_frames, axis=0)
@@ -96,7 +111,15 @@ class ARTRSampler:
                 full, enc.lengths + length)
             mel = model.decode(full_m, k_dec, u_c=u_c) if has_utt else \
                 model.decode(full_m, k_dec)
-            return {"output": mel, "frames": full_m}
+            outputs = {"output": mel, "frames": full_m}
+            if return_attn:
+                # (steps,L,B,H,T) -> (B,L,H,steps,T); generated steps
+                # only (the reference's `attn` list is declared but
+                # never filled — trainers/speech/sampler.py:48-49).
+                rows = jnp.concatenate(seg_attn, axis=0)
+                outputs["attn"] = jnp.transpose(
+                    rows, (2, 1, 3, 0, 4)).astype(jnp.float32)
+            return outputs
 
         return run
 
@@ -105,14 +128,15 @@ class ARTRSampler:
                  token_temperature: float = 1.0,
                  truncated_norm: Optional[Tuple[float, float]] = None,
                  encoder_temperature: float = 1.0,
+                 return_attn: bool = False,
                  ) -> Dict[str, Any]:
         sig = (length, temperature, token_temperature,
                tuple(truncated_norm) if truncated_norm else None,
-               encoder_temperature)
+               encoder_temperature, return_attn)
         if sig not in self._compiled:
             self._compiled[sig] = self._build(
                 length, temperature, token_temperature, truncated_norm,
-                encoder_temperature)
+                encoder_temperature, return_attn)
         _, state = nnx.split(self.model)
         return self._compiled[sig](state, prior, key)
 

@@ -164,12 +164,13 @@ class DiscreteAR(nnx.Module):
     def step(self, xv: Array, caches: List[LayerKVCache], pos: Array,
              key: Array, temperature: float = 1.0,
              window: Optional[int] = None,
-             ) -> Tuple[Array, List[LayerKVCache]]:
+             return_attn: bool = False):
         """One AR step over the static cache (``discrete.py:167-214``).
 
         xv: (B, S) token ids (single-VQ) or (B, S, 1+1) [token, f0].
         Returns sampled next tokens (B, S) (or with f0 channel) and the
-        updated caches.
+        updated caches; with ``return_attn`` also the stacked
+        per-layer attention maps (L, B, H, S, max_len).
         """
         if self.f0 is not None:
             f0 = xv[..., -1:]
@@ -179,8 +180,12 @@ class DiscreteAR(nnx.Module):
         emb = self.embedding.lookup(ids)
         if self.f0 is not None:
             emb = jnp.concatenate([emb, f0.astype(emb.dtype)], axis=-1)
-        h, caches = self.transformer.decode(emb, caches, pos,
-                                            window=window)
+        res = self.transformer.decode(emb, caches, pos, window=window,
+                                      return_attn=return_attn)
+        if return_attn:
+            h, caches, attn = res
+        else:
+            h, caches = res
         if self.single_vq:
             logits = h.astype(jnp.float32)
             sample = jax.random.categorical(key, logits / temperature,
@@ -198,10 +203,13 @@ class DiscreteAR(nnx.Module):
             sample = jnp.stack(codes, axis=-1)[:, None]
         if self.f0 is not None:
             f0_out = self.f0_dense(h).astype(jnp.float32)
-            return jnp.concatenate(
-                [sample[..., None].astype(jnp.float32), f0_out], -1), \
-                caches
-        return sample, caches
+            out = jnp.concatenate(
+                [sample[..., None].astype(jnp.float32), f0_out], -1)
+        else:
+            out = sample
+        if return_attn:
+            return out, caches, attn["self_attn"]
+        return out, caches
 
     # ------------------------------------------------------------------
     def decode(self, x: Masked, key: Optional[Array] = None,

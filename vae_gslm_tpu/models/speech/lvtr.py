@@ -264,14 +264,18 @@ class LVTR(nnx.Module):
              push_init_state: bool = False,
              init_key: Optional[Array] = None,
              window: Optional[int] = None,
-             ) -> Tuple[Array, List[LayerKVCache]]:
+             return_attn: bool = False):
         """One AR step over the static KV cache (``lvtr.py:227-286``).
 
         xv: (B, S, 1+latent) raw [token, latent] frames (or (B, S,
         latent) without tokens).  Returns sampled next-frame(s)
         (B, S', 1+latent) and updated caches.  With ``push_init_state``
         a random initial state is prepended (S' = S + 1), matching the
-        prompt-prefill step of the reference sampler.
+        prompt-prefill step of the reference sampler.  With
+        ``return_attn`` a third element — the stacked per-layer
+        attention maps (L, B, H, S', max_len) — is returned
+        (``trainers/speech/sampler.py:48-57`` parity; the reference
+        never actually fills its ``attn`` list, we do).
         """
         k_prior, k_tok = jax.random.split(key)
         b, s = xv.shape[0], xv.shape[1]
@@ -288,8 +292,12 @@ class LVTR(nnx.Module):
             init = self.initial_state(init_key, b)
             fused = jnp.concatenate(
                 [init.astype(fused.dtype), fused], axis=1)
-        h, caches = self.transformer.decode(fused, caches, pos,
-                                            window=window)
+        res = self.transformer.decode(fused, caches, pos, window=window,
+                                      return_attn=return_attn)
+        if return_attn:
+            h, caches, attn = res
+        else:
+            h, caches = res
         hm = Masked.full(h)
         q_split = self.q_spliter(hm) if self.use_tokens else hm
         z = self.prior_head(q_split, k_prior, temperature=temperature,
@@ -305,13 +313,20 @@ class LVTR(nnx.Module):
                 k_tok, logits / token_temperature, axis=-1)
             out = jnp.concatenate(
                 [tok[..., None].astype(jnp.float32), out], axis=-1)
+        if return_attn:
+            return out, caches, attn["self_attn"]
         return out, caches
 
     # ------------------------------------------------------------------
     def decode(self, x: Masked, key: Array,
-               u_c: Optional[Array] = None) -> Masked:
+               u_c: Optional[Array] = None,
+               c: Optional[Masked] = None) -> Masked:
         """Diffusion-decode [token, latent] frames to mels
-        (``lvtr.py:288-306``)."""
+        (``lvtr.py:288-306``).  ``c`` is accepted for call-site parity
+        but unused — the reference declares it and ignores it too
+        (its TTS trainer passes the text condition to no effect,
+        ``models/speech/lvtr.py:288-306``)."""
+        del c
         k_noise, k_samp = jax.random.split(key)
         out_len = int(x.value.shape[1] * (1.0 / self.sample_ratio))
         noise = jax.random.normal(

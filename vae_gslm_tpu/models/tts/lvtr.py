@@ -55,9 +55,19 @@ class LVTTS(LVTR):
                               time_first=True,
                               in_dim=hp.spkr.embedding_dim, rngs=rngs)
 
-    def encode_condition(self, text: Masked, spkr: Masked
-                         ) -> Tuple[Masked, Array]:
+    def encode_condition(self, text: Masked, spkr: Masked,
+                         return_attn: bool = False):
+        """Text memory + pooled speaker embedding
+        (``models/tts/lvtr.py:60-75``).  With ``return_attn`` a third
+        element — the text-encoder self-attention maps stacked over
+        layers (L, B, H, T, T) — is returned
+        (``trainers/tts/sampler.py:23-30`` parity)."""
         spkr_emb = self.spkr_pool(self.spkr_encoder(spkr))
+        if return_attn:
+            res = self.text_encoder.run(self.text_embedding(text),
+                                        return_attn=True)
+            text_attn = jnp.stack(res["self_attn"])
+            return res["output"], spkr_emb, text_attn
         memory = self.text_encoder(self.text_embedding(text))
         return memory, spkr_emb
 

@@ -160,16 +160,16 @@ class SelfAttention(nnx.Module):
         self.in_proj = Dense(dim, dim * 3, bias=bias, rngs=rngs)
         self.out_proj = Dense(dim, dim, bias=bias, rngs=rngs)
 
-    def _qkv(self, xv: Array, rpe_pair=None, offset: int = 0):
+    def _qkv(self, xv: Array, rpe_pair=None, offset=0):
+        """offset: absolute position of xv[:, 0] (int or traced scalar;
+        used by the KV-cache decode path so Rotary/SinCos rotate at the
+        true positions)."""
         qkv = self.in_proj(xv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if rpe_pair is not None:
             rpe_id, rpe = rpe_pair
             if rpe_id in ("SinCos", "Rotary") and rpe is not None:
-                if isinstance(rpe, Rotary):
-                    q, k = rpe(q, offset=offset), rpe(k, offset=offset)
-                else:
-                    q, k = rpe(q), rpe(k)
+                q, k = rpe(q, offset=offset), rpe(k, offset=offset)
         return q, k, v
 
     def __call__(self, x: Masked,
@@ -266,18 +266,22 @@ class SelfAttention(nnx.Module):
     def decode_step(self, xv: Array, cache: LayerKVCache, pos: Array,
                     rpe_pair: Optional[Tuple[str, Any]] = None,
                     window: Optional[int] = None,
-                    ) -> Tuple[Array, LayerKVCache]:
+                    return_attn: bool = False):
         """One AR step over a preallocated cache.
 
         xv: (B, S, C) new frames whose absolute positions start at
         ``pos``; returns attention output (B, S, C) and the updated
-        cache.  All shapes static => scan-compatible.
+        cache.  With ``return_attn`` a third element — the fp32
+        attention weights (B, H, S, max_len) over the cache — is
+        returned (attention-map figures; ``trainers/tts/sampler.py``
+        parity).  All shapes static => scan-compatible.
         """
         s = xv.shape[1]
-        q, k, v = self._qkv(xv, rpe_pair, offset=0)
-        # NOTE: Rotary offset would need `pos`; ALiBi below handles
-        # positions explicitly. SinCos/Rotary are unused in decode by the
-        # reference configs.
+        # Rotary/SinCos rotate q/k at the true absolute positions
+        # (cached k is stored post-rotation, so only the new frames
+        # need the offset); ALiBi positions are handled explicitly
+        # below.
+        q, k, v = self._qkv(xv, rpe_pair, offset=pos)
         qh = _split_heads(q, self.nheads)
         cache = cache.write(pos, _split_heads(k, self.nheads),
                             _split_heads(v, self.nheads))
@@ -286,12 +290,17 @@ class SelfAttention(nnx.Module):
             slopes = rpe_pair[1].slopes[...]
         if s == 1:
             from ..ops.decode_attention import decode_attention
-            out = decode_attention(qh[:, 0], cache.k, cache.v, pos,
+            res = decode_attention(qh[:, 0], cache.k, cache.v, pos,
                                    slopes, window=window,
                                    k_scale=cache.k_scale,
-                                   v_scale=cache.v_scale)
+                                   v_scale=cache.v_scale,
+                                   return_weights=return_attn)
+            out, w = res if return_attn else (res, None)
             out = out.reshape(out.shape[0], 1, self.dim)
-            return self.out_proj(out), cache
+            out = self.out_proj(out)
+            if return_attn:
+                return out, cache, w[:, :, None]        # (B,H,1,T)
+            return out, cache
         # Prefill (S > 1): dense attention over the cache.
         max_len = cache.max_len
         k_pos = jnp.arange(max_len)
@@ -302,8 +311,12 @@ class SelfAttention(nnx.Module):
         if slopes is not None:
             bias = rpe_pair[1].bias(q_pos, k_pos)
         kc, vc = cache.dense_kv()  # (B, T, H, D)
-        out, _ = attend(qh, kc, vc, bias, mask)
-        return self.out_proj(_merge_heads(out)), cache
+        out, attn = attend(qh, kc, vc, bias, mask,
+                           return_attn=return_attn)
+        out = self.out_proj(_merge_heads(out))
+        if return_attn:
+            return out, cache, attn                     # (B,H,S,T)
+        return out, cache
 
 
 class CrossAttention(nnx.Module):

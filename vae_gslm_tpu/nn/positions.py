@@ -45,9 +45,14 @@ class SinCos(nnx.Module):
             else None
         self.fixed_pos = fixed_pos
 
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, offset=0) -> Array:
+        """offset: absolute position of x[:, 0] — may be a traced
+        scalar (KV-cache decode)."""
         t = x.shape[1]
-        p = self.p[...] if self.fixed_pos else self.p[...][:t]
+        if isinstance(offset, int) and offset == 0:
+            p = self.p[...] if self.fixed_pos else self.p[...][:t]
+        else:
+            p = jax.lax.dynamic_slice_in_dim(self.p[...], offset, t)
         s = self.scalar[...] if self.scalar is not None else 1.0
         return x + (s * p[None]).astype(x.dtype)
 
@@ -169,10 +174,11 @@ class Rotary(nnx.Module):
         self.freqs = nnx.Variable(freqs)
         self.dim = dim
 
-    def __call__(self, x: Array, offset: int = 0) -> Array:
-        """x: (B, T, C) — rotate the full feature dim."""
+    def __call__(self, x: Array, offset=0) -> Array:
+        """x: (B, T, C) — rotate the full feature dim.  ``offset`` is
+        the absolute position of x[:, 0]; may be a traced scalar."""
         t = x.shape[1]
-        pos = jnp.arange(offset, offset + t, dtype=jnp.float32)
+        pos = jnp.arange(t, dtype=jnp.float32) + offset
         ang = pos[:, None] * self.freqs[...][None, :]      # (T, C/2)
         cos, sin = jnp.cos(ang), jnp.sin(ang)
         x1 = x[..., 0::2]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, List, Mapping, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 from ..core.masked import Masked
@@ -96,29 +97,46 @@ class TransformerLayer(nnx.Module):
     def decode(self, xv: Array, cache: LayerKVCache, pos: Array,
                rpe_pair=None,
                memory: Optional[Masked] = None,
-               window: Optional[int] = None
-               ) -> Tuple[Array, LayerKVCache]:
+               window: Optional[int] = None,
+               return_attn: bool = False):
         """Pre/post-LN step over the static cache (no masking needed:
         decode positions are always valid).  With ``memory``,
-        cross-attention runs statelessly against the full memory."""
+        cross-attention runs statelessly against the full memory.
+        With ``return_attn`` a third element is returned:
+        ``{"self_attn": (B,H,S,max_len)[, "cross_attn":
+        (B,H,S,T_mem)]}``."""
+        attn: dict = {}
+
+        def _self(x):
+            res = self.self_attn.decode_step(x, cache, pos,
+                                             rpe_pair=rpe_pair,
+                                             window=window,
+                                             return_attn=return_attn)
+            if return_attn:
+                attn["self_attn"] = res[2]
+            return res[0], res[1]
+
+        def _cross(x):
+            ca = self.cross_attn(Masked.full(x), memory,
+                                 return_attn=return_attn)
+            if return_attn:
+                attn["cross_attn"] = ca["attn"]
+            return ca["output"].value
+
         if self.preln:
-            h, cache = self.self_attn.decode_step(
-                self.norm1(xv), cache, pos, rpe_pair=rpe_pair,
-                window=window)
+            h, cache = _self(self.norm1(xv))
             x = xv + h
             if self.cross_attn is not None and memory is not None:
-                ca = self.cross_attn(Masked.full(self.norm2(x)), memory)
-                x = x + ca["output"].value
+                x = x + _cross(self.norm2(x))
             x = x + self._ffn(self.norm3(x))
         else:
-            h, cache = self.self_attn.decode_step(xv, cache, pos,
-                                                  rpe_pair=rpe_pair,
-                                                  window=window)
+            h, cache = _self(xv)
             x = self.norm1(xv + h)
             if self.cross_attn is not None and memory is not None:
-                ca = self.cross_attn(Masked.full(x), memory)
-                x = self.norm2(x + ca["output"].value)
+                x = self.norm2(x + _cross(x))
             x = self.norm3(x + self._ffn(x))
+        if return_attn:
+            return x, cache, attn
         return x, cache
 
 
@@ -239,26 +257,40 @@ class TransformerLayerStack(nnx.Module):
 
     def decode(self, xv: Array, caches: List[LayerKVCache], pos: Array,
                memory: Optional[Masked] = None,
-               window: Optional[int] = None
-               ) -> Tuple[Array, List[LayerKVCache]]:
+               window: Optional[int] = None,
+               return_attn: bool = False):
         """One AR step: xv (B, S, C) raw input frames at absolute
         positions [pos, pos+S); returns final hidden (B, S, C) and
         updated caches.  ``memory`` (already passed through
-        ``project_memory``) enables per-step cross-attention (TTS)."""
+        ``project_memory``) enables per-step cross-attention (TTS).
+        With ``return_attn`` a third element is returned with the
+        per-layer maps stacked on a leading axis:
+        ``{"self_attn": (L,B,H,S,max_len)[, "cross_attn": ...]}``."""
         if self.linear is not None:
             xv = self.linear(xv)
         if self.first_norm is not None:
             xv = self.first_norm(xv)
         rpe_pair = (self.rpe_id, self.rpe) if self.rpe is not None else None
         new_caches = []
+        attns: List[dict] = []
         for layer, cache in zip(self.layers, caches):
-            xv, cache = layer.decode(xv, cache, pos, rpe_pair=rpe_pair,
-                                     memory=memory, window=window)
+            res = layer.decode(xv, cache, pos, rpe_pair=rpe_pair,
+                               memory=memory, window=window,
+                               return_attn=return_attn)
+            if return_attn:
+                xv, cache, a = res
+                attns.append(a)
+            else:
+                xv, cache = res
             new_caches.append(cache)
         if self.final_norm is not None:
             xv = self.final_norm(xv)
         if self.out is not None:
             xv = self.out(xv)
+        if return_attn:
+            stacked = {k: jnp.stack([a[k] for a in attns])
+                       for k in attns[0]}
+            return xv, new_caches, stacked
         return xv, new_caches
 
     def set_uniform(self, std: float, *, key: jax.Array) -> None:

@@ -32,12 +32,16 @@ def decode_attention(q: Array, k_cache: Array, v_cache: Array,
                      pos: Array, slopes: Optional[Array],
                      window: Optional[int] = None,
                      k_scale: Optional[Array] = None,
-                     v_scale: Optional[Array] = None) -> Array:
+                     v_scale: Optional[Array] = None,
+                     return_weights: bool = False):
     """q: (B, H, D); caches: (B, H, T, D); pos: scalar absolute query
     position (keys ≤ pos are valid); slopes: (H,) negative ALiBi slopes
     or None; window: static prefix length to attend over (must satisfy
     window > pos at runtime); k_scale/v_scale: (B, H, T) int8
-    dequantization scales.  Returns (B, H, D)."""
+    dequantization scales.  Returns (B, H, D), or
+    ``(out, weights (B, H, T_full))`` with ``return_weights`` (weights
+    are zero-padded back to the full cache length if windowed)."""
+    t_full = k_cache.shape[2]
     if window is not None and window < k_cache.shape[2]:
         k_cache = k_cache[:, :, :window]
         v_cache = v_cache[:, :, :window]
@@ -71,4 +75,9 @@ def decode_attention(q: Array, k_cache: Array, v_cache: Array,
     else:
         out = jnp.einsum("bht,bhtd->bhd", w.astype(v_cache.dtype),
                          v_cache, preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    out = out.astype(q.dtype)
+    if return_weights:
+        if t < t_full:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, t_full - t)))
+        return out, w
+    return out

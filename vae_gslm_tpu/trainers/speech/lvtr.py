@@ -327,8 +327,10 @@ class LVTRTrainer(BaseTrainer):
         prior = Masked(model_input.value[:, :prior_len],
                        np.minimum(np.asarray(model_input.lengths),
                                   prior_len), 1)
+        plot_attn = bool(self.hp.logging.plot_attn)
         samples = self.sampler(length, prior, k3,
-                               temperature=self.hp.logging.temperature)
+                               temperature=self.hp.logging.temperature,
+                               return_attn=plot_attn)
         sampled_audio = self.vocoder.decode(samples["output"])
         sr = self.hp.data.train.sample_rate
         artifacts = [("re_vocoded", re_vocoded),
@@ -341,6 +343,15 @@ class LVTRTrainer(BaseTrainer):
                 wav = np.asarray(audio.value)[i]
                 ln = int(np.asarray(audio.lengths)[i])
                 self.logger.log_audio(f"{tag}/{i}", wav[:ln], step, sr)
+        if plot_attn:
+            # Last-layer self-attention over the generated continuation
+            # (the reference requests maps on the speech path but never
+            # plots them — trainers/speech/lvtr.py:235, sampler.py:48).
+            from ...inference.plots import plot_attn as attn_fig
+            attn = np.asarray(samples["attn"])  # (B, L, H, steps, T)
+            for i in range(num):
+                self.logger.log_figure(
+                    f"self_attn/{i}", attn_fig(attn[i, -1]), step)
 
     # --------------------------------------------------------- checkpoints
     def save_checkpoint(self, path: str) -> None:

@@ -167,6 +167,7 @@ class LVTTSTrainer(BaseTrainer):
         limit = self.hp.trainer.get("limit_val_batches", 8)
         totals: Dict[str, float] = {}
         length = 0.0
+        first_batch = None
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
@@ -177,10 +178,69 @@ class LVTTSTrainer(BaseTrainer):
             length += float(m["length"])
             for k in ("kld", "rec_loss"):
                 totals[k] = totals.get(k, 0.0) + float(m[k])
+            if first_batch is None:
+                first_batch = batch
         if length:
             self.logger.log_scalars(
                 {f"val/{k}": v / length for k, v in totals.items()},
                 step)
+        if first_batch is not None:
+            self._log_audio_samples(first_batch, step)
+
+    def _log_audio_samples(self, batch, step: int) -> None:
+        """Reconstruction + TTS sample audio, optional attention-map
+        figures (``/root/reference/trainers/tts/lvtts.py:156-208``)."""
+        num = min(self.hp.logging.num_samples,
+                  batch["mel"].value.shape[0])
+        if num == 0:
+            return
+        self.sync_model()
+        self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
+        take = lambda m: Masked(np.asarray(m.value)[:num],
+                                np.asarray(m.lengths)[:num], 1)
+        mel = take(batch["mel"])
+        text = Masked(np.asarray(batch["text"].value)[:num],
+                      np.asarray(batch["text"].lengths)[:num], 1)
+        spkr = take(batch["cropped_mel"])
+        # Reconstruction through the posterior + diffusion decoder.
+        out = self.model(mel, k1, text=text, spkr=spkr)
+        rec_audio = self.vocoder.decode(
+            self.model.decode(out["sample_q"], k2, c=out["condition"]))
+        re_vocoded = self.vocoder.decode(mel)
+        rate = self.val_mel_sample_rate * self.model.sample_ratio
+        plot_attn = bool(self.hp.logging.plot_attn)
+        samples = self.sampler(
+            text, spkr, k3,
+            max_frames=int(self.hp.logging.max_sample_length * rate),
+            min_frames=int(self.hp.logging.min_sample_length * rate),
+            temperature=self.hp.logging.temperature,
+            eos_threshold=self.hp.logging.get("eos_threshold", 0.5),
+            return_attn=plot_attn)
+        sampled_audio = self.vocoder.decode(samples["output"])
+        sr = self.hp.data.train.sample_rate
+        for i in range(num):
+            for tag, audio in (("re_vocoded", re_vocoded),
+                               ("reconstruct", rec_audio),
+                               ("samples", sampled_audio)):
+                wav = np.asarray(audio.value)[i]
+                ln = int(np.asarray(audio.lengths)[i])
+                self.logger.log_audio(f"{tag}/{i}", wav[:ln], step, sr)
+        if plot_attn:
+            from ...inference.plots import plot_attn as attn_fig
+            lengths = np.asarray(samples["lengths"])
+            t_len = np.asarray(text.lengths)
+            for name in ("self_attn", "cross_attn", "text_self_attn"):
+                maps = np.asarray(samples[name])   # (B, L, H, Q, KV)
+                for i in range(num):
+                    m = maps[i, -1]                # last layer (H, Q, KV)
+                    if name == "self_attn":
+                        m = m[:, :lengths[i], :lengths[i]]
+                    elif name == "cross_attn":
+                        m = m[:, :lengths[i], :t_len[i]]
+                    else:
+                        m = m[:, :t_len[i], :t_len[i]]
+                    self.logger.log_figure(f"{name}/{i}", attn_fig(m),
+                                           step)
 
     def resume(self, path: str) -> None:
         """Resume model params from a compact npz checkpoint."""
