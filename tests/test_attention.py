@@ -233,8 +233,6 @@ def test_sincos_matches_reference():
 def test_rotary_sincos_decode_offset_matches_full():
     """Rotary/SinCos must rotate at true absolute positions in the
     KV-cache decode path (offset = pos), matching the full forward."""
-    import pytest
-
     for ident in ("Rotary", "SinCos"):
         hp = _stack_hp(rpe=False)
         hp.rpe = Hparams(identifier=ident, maxpos=64)
@@ -253,3 +251,52 @@ def test_rotary_sincos_decode_offset_matches_full():
         dec = np.concatenate([np.asarray(o) for o in outs], axis=1)
         np.testing.assert_allclose(dec, full, rtol=1e-4, atol=1e-5,
                                    err_msg=ident)
+
+
+def test_rotary_xpos_scaling():
+    """xpos (position/rotary.py:121-130): q scaled by s^power, k by
+    s^-power — scales cancel at equal positions and relative dot
+    products match the reference formulation."""
+    from vae_gslm_tpu.nn.positions import Rotary
+
+    dim = 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 6, dim), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 6, dim), jnp.float32)
+    plain = Rotary(dim)
+    xpos = Rotary(dim, use_xpos=True, xpos_scale_base=16)
+    rq, rk = np.asarray(xpos(q, scale_power=1)), \
+        np.asarray(xpos(k, scale_power=-1))
+    pq, pk = np.asarray(plain(q)), np.asarray(plain(k))
+    # same-position dots: xpos scales cancel exactly
+    np.testing.assert_allclose((rq * rk).sum(-1), (pq * pk).sum(-1),
+                               rtol=1e-5)
+    # cross-position dots: scaled by s^((i-j)/base) per freq (check the
+    # torch reference formula directly)
+    import torch
+    scale = (np.arange(0, dim, 2) + 0.4 * dim) / (1.4 * dim)
+    pos = np.arange(6, dtype=np.float32)
+    power = (pos - 6 // 2) / 16.0
+    s = scale[None, :] ** power[:, None]              # (T, dim/2)
+    s2 = np.repeat(s, 2, axis=-1)                     # interleaved
+    np.testing.assert_allclose(rq[0], pq[0] * s2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rk[0], pk[0] / s2, rtol=1e-5, atol=1e-6)
+
+
+def test_rotary_ntk_and_interpolation():
+    from vae_gslm_tpu.nn.positions import Rotary
+
+    dim = 8
+    base = Rotary(dim)
+    interp = Rotary(dim, interpolate_factor=2.0)
+    # identical rows: interpolated position idx/2 must equal the base
+    # rotation at position idx/2 of the same vector
+    row = np.random.RandomState(1).randn(dim).astype(np.float32)
+    x = jnp.asarray(np.tile(row, (1, 4, 1)))
+    a = np.asarray(interp(x))
+    c = np.asarray(base(x))
+    np.testing.assert_allclose(a[0, 2], c[0, 1], rtol=1e-5, atol=1e-6)
+    # NTK rescale changes theta
+    ntk = Rotary(dim, theta_rescale_factor=2.0)
+    assert not np.allclose(np.asarray(ntk.freqs[...]),
+                           np.asarray(base.freqs[...]))

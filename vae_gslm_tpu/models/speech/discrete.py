@@ -11,7 +11,6 @@ the HuBERTIO codec path is live, which is what we implement against.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

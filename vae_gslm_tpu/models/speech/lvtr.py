@@ -31,7 +31,7 @@ from ...nn.attention import LayerKVCache
 from ...nn.conv import BottleNeckResNet, CNNStack, ResNet
 from ...nn.diffusion import GaussianDiffusion1D
 from ...nn.flow import CouplingStack, TensorLogdet
-from ...nn.linear import (Dense, Embedding, GaussianParameterize, Linear,
+from ...nn.linear import (Embedding, GaussianParameterize, Linear,
                           TimeAggregation)
 from ...nn.transformer import TransformerLayerStack
 from ...nn.unet import ConditionalBottleNeckUNet, ConditionalUNet

@@ -169,7 +169,11 @@ class SelfAttention(nnx.Module):
         if rpe_pair is not None:
             rpe_id, rpe = rpe_pair
             if rpe_id in ("SinCos", "Rotary") and rpe is not None:
-                q, k = rpe(q, offset=offset), rpe(k, offset=offset)
+                if isinstance(rpe, Rotary) and rpe.use_xpos:
+                    q = rpe(q, offset=offset, scale_power=1)
+                    k = rpe(k, offset=offset, scale_power=-1)
+                else:
+                    q, k = rpe(q, offset=offset), rpe(k, offset=offset)
         return q, k, v
 
     def __call__(self, x: Masked,

@@ -159,7 +159,11 @@ class T5RPE(nnx.Module):
 
 # ------------------------------------------------------------------ Rotary
 class Rotary(nnx.Module):
-    """Rotary embedding (interleaved pairs, lucidrains convention).
+    """Rotary embedding (interleaved pairs, lucidrains convention,
+    ``position/rotary.py:59-165``): NTK ``theta_rescale_factor``,
+    position ``interpolate_factor``, and xpos length-extrapolation
+    scaling (q scaled by ``s^power``, k by ``s^-power`` with
+    ``power = (pos - T/2)/scale_base``).
 
     NOTE: config-unreachable in the reference due to the ``"Rotery"``
     factory-key typo (``position/embedding.py:19`` vs the attention check
@@ -167,20 +171,44 @@ class Rotary(nnx.Module):
     """
 
     def __init__(self, dim: int, theta: float = 10000.0,
+                 use_xpos: bool = False, xpos_scale_base: float = 512.0,
+                 interpolate_factor: float = 1.0,
+                 theta_rescale_factor: float = 1.0,
                  *, rngs: Optional[nnx.Rngs] = None):
         del rngs
+        theta = theta * theta_rescale_factor ** (dim / (dim - 2))
         freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2,
                                             dtype=jnp.float32) / dim))
         self.freqs = nnx.Variable(freqs)
         self.dim = dim
+        self.use_xpos = use_xpos
+        self.scale_base = xpos_scale_base
+        assert interpolate_factor >= 1.0
+        self.interpolate_factor = interpolate_factor
+        if use_xpos:
+            self.scale = nnx.Variable(
+                (jnp.arange(0, dim, 2, dtype=jnp.float32) + 0.4 * dim)
+                / (1.4 * dim))
+        else:
+            self.scale = None
 
-    def __call__(self, x: Array, offset=0) -> Array:
+    def __call__(self, x: Array, offset=0, scale_power: int = 0
+                 ) -> Array:
         """x: (B, T, C) — rotate the full feature dim.  ``offset`` is
-        the absolute position of x[:, 0]; may be a traced scalar."""
+        the absolute position of x[:, 0]; may be a traced scalar.
+        ``scale_power``: +1 for queries / -1 for keys under xpos
+        (``rotate_queries_and_keys``, ``position/rotary.py:121-130``);
+        ignored when xpos is off."""
         t = x.shape[1]
-        pos = jnp.arange(t, dtype=jnp.float32) + offset
+        pos = (jnp.arange(t, dtype=jnp.float32)
+               + offset) / self.interpolate_factor
         ang = pos[:, None] * self.freqs[...][None, :]      # (T, C/2)
         cos, sin = jnp.cos(ang), jnp.sin(ang)
+        if self.use_xpos and scale_power != 0:
+            power = (pos - t // 2) / self.scale_base       # (T,)
+            s = self.scale[...][None, :] ** (scale_power
+                                             * power[:, None])
+            cos, sin = cos * s, sin * s
         x1 = x[..., 0::2]
         x2 = x[..., 1::2]
         y1 = x1 * cos - x2 * sin
@@ -201,7 +229,13 @@ def get_positional_encoding(name: str, hp: Hparams,
                       hp.get("fixed_pos", False), hp.get("scaled", False))
     if name in ("Rotary", "Rotery"):
         assert ndim is not None
-        return Rotary(ndim, theta=hp.get("theta", 10000))
+        return Rotary(ndim, theta=hp.get("theta", 10000),
+                      use_xpos=hp.get("use_xpos", False),
+                      xpos_scale_base=hp.get("xpos_scale_base", 512),
+                      interpolate_factor=hp.get("interpolate_factor",
+                                                1.0),
+                      theta_rescale_factor=hp.get(
+                          "theta_rescale_factor", 1.0))
     if name == "ALiBi":
         assert nheads is not None
         return ALiBi(nheads, hp.get("maxpos", 10000))
