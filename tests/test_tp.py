@@ -1,0 +1,118 @@
+"""Tensor parallelism over the virtual 8-CPU mesh (parallel/tp.py):
+(data, model) mesh, qkv/FFN-up column-sharded, out/FFN-down
+row-sharded, XLA SPMD inserting the collectives.  Checks spec
+assignment, forward/grad parity vs a replicated run, and the
+trainer-level model_parallel knob."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+from jax.sharding import PartitionSpec as P
+
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.nn.transformer import TransformerLayerStack
+from vae_gslm_tpu.parallel import mesh as mesh_lib
+from vae_gslm_tpu.parallel import tp
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def _stack(dim=16, use_flash=True):
+    hp = Hparams(
+        num_layers=2, bias=False,
+        rpe={"identifier": "ALiBi", "maxpos": 64},
+        layer={"ffd_size": 32, "dim": dim,
+               "norm": {"identifier": "RMSNorm", "eps": 1e-6},
+               "activation": {"identifier": "GELU"},
+               "self_attn": {"nheads": 4, "causal": True,
+                             "use_flash": use_flash}})
+    return TransformerLayerStack(hp, input_dim=8, rngs=nnx.Rngs(0))
+
+
+@requires_8
+def test_tp_specs_and_parity():
+    m = _stack(use_flash=False)
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    mesh = tp.create_mesh_2d(4, 2)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    placed = tp.shard_params(params, mesh)
+
+    def spec_of(path_frag):
+        out = {}
+        def walk(path, x):
+            s = "/".join(str(p) for p in path)
+            if path_frag in s:
+                out[s] = x.sharding.spec
+            return x
+        jax.tree_util.tree_map_with_path(walk, placed)
+        return list(out.values())
+
+    assert all(s == P(None, "model")
+               for s in spec_of("in_proj']/['kernel"))
+    assert all(s == P("model", None)
+               for s in spec_of("out_proj']/['kernel"))
+    assert all(s == P(None, "model")
+               for s in spec_of("linear1']/['kernel"))
+    assert all(s == P("model",)
+               for s in spec_of("linear1']/['bias"))
+    assert all(s == P("model", None)
+               for s in spec_of("linear2']/['kernel"))
+    assert all(s == P() for s in spec_of("linear2']/['bias"))
+    assert all(s == P() for s in spec_of("norm1"))
+
+    rng = np.random.RandomState(0)
+    xv = rng.randn(4, 8, 8).astype(np.float32)
+
+    def loss(params, xv):
+        mod = nnx.merge(graphdef, params, rest)
+        return (mod(Masked.full(xv)).value ** 2).mean()
+
+    # Replicated single-mesh baseline.
+    mesh1 = mesh_lib.create_mesh(1)
+    p1 = mesh_lib.replicate_tree(params, mesh1)
+    base = float(jax.jit(loss)(p1, jnp.asarray(xv)))
+    base_g = jax.jit(jax.grad(loss))(p1, jnp.asarray(xv))
+
+    # TP run: sharded params, batch sharded on the data axis.
+    xb = mesh_lib.shard_batch({"x": xv}, mesh)["x"]
+    got = float(jax.jit(loss)(placed, xb))
+    np.testing.assert_allclose(got, base, rtol=1e-5)
+    g = jax.jit(jax.grad(loss))(placed, xb)
+    key = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(base_g),
+                   key=key)):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@requires_8
+def test_tp_shard_params_skips_indivisible():
+    m = _stack(dim=12)   # 3*dim=36 and ffd=32: 32%8==0 but 36%8!=0
+    _, params, _rest = nnx.split(m, nnx.Param, ...)
+    mesh = tp.create_mesh_2d(8, 1)
+    placed = tp.shard_params(params, mesh)
+    def walk(path, x):
+        s = "/".join(str(p) for p in path)
+        if "in_proj" in s:
+            assert x.sharding.spec == P(), s   # 36 % 8 != 0 → replicated
+        if "linear1" in s and "kernel" in s:
+            assert x.sharding.spec == P(None, "model"), s
+        return x
+    jax.tree_util.tree_map_with_path(walk, placed)
+
+
+@requires_8
+def test_trainer_model_parallel_mesh():
+    hp = Hparams(model={}, data={},
+                 trainer={"distributed": False, "n_devices": 8,
+                          "model_parallel": 2})
+    from vae_gslm_tpu.training.trainer import BaseTrainer
+    t = BaseTrainer(hp)
+    assert dict(t.mesh.shape) == {"data": 4, "model": 2}
+    assert mesh_lib.has_model_axis(t.mesh)

@@ -156,6 +156,11 @@ class SelfAttention(nnx.Module):
         assert dim % self.nheads == 0
         self.head_dim = dim // self.nheads
         self.causal = hp.causal
+        # use_flash: false routes training attention through the dense
+        # XLA path — needed under tensor parallelism, where GSPMD can
+        # partition the einsums on the head axis but not the Pallas
+        # custom call (parallel/tp.py).
+        self.use_flash = bool(hp.get("use_flash", True))
         bias = bool(hp.get("bias", None))
         self.in_proj = Dense(dim, dim * 3, bias=bias, rngs=rngs)
         self.out_proj = Dense(dim, dim, bias=bias, rngs=rngs)
@@ -187,7 +192,8 @@ class SelfAttention(nnx.Module):
         # Fused Pallas path: causal/padding masks and ALiBi synthesized
         # in-kernel — no (B,H,T,T) tensors in HBM. Dense fallback keeps
         # the reference's bias-reuse protocol for T5/debug paths.
-        if (self.causal and past_kv is None and not return_attn
+        if (self.use_flash and self.causal and past_kv is None
+                and not return_attn
                 and rpe_bias is None
                 and (rpe_pair is None
                      or rpe_pair[0] in (None, "ALiBi", "SinCos",

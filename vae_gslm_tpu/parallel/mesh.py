@@ -36,13 +36,14 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh,
                 axis_name: str = "data") -> Any:
     """Device-put a host batch with the leading axis sharded over the
-    mesh.  Scalars/rank-0 leaves are replicated."""
+    mesh's data axis.  Scalars/rank-0 leaves are replicated."""
     data_sh = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
+    n_data = dict(mesh.shape).get(axis_name, mesh.devices.size)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % mesh.devices.size != 0:
+        if x.ndim == 0 or x.shape[0] % n_data != 0:
             return jax.device_put(x, repl)
         return jax.device_put(x, data_sh)
 
@@ -53,6 +54,17 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     repl = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), tree)
+
+
+def has_model_axis(mesh: Mesh) -> bool:
+    return "model" in mesh.axis_names and dict(mesh.shape)["model"] > 1
+
+
+def place_params(params: Any, mesh: Mesh) -> Any:
+    """Replicate params on a data mesh; apply tensor-parallel specs on
+    a (data, model) mesh (see ``parallel/tp.py``)."""
+    from . import tp
+    return tp.shard_params(params, mesh)
 
 
 def process_count() -> int:

@@ -1,0 +1,82 @@
+"""Tensor parallelism for the transformer trunk (beyond-reference).
+
+The reference scales with DDP only (SURVEY §2.9).  For serving/training
+scale beyond one chip's HBM we additionally support Megatron-style
+tensor parallelism the TPU-native way: a 2-D ``(data, model)``
+``jax.sharding.Mesh`` and **sharding annotations only** — the qkv and
+FFN-up projections are column-sharded, the output and FFN-down
+projections row-sharded, and XLA's SPMD partitioner inserts the
+all-reduces over ICI.  No model code changes; attention heads partition
+with the qkv columns.
+
+Sharding rules (transformer layers only, everything else replicated):
+  * ``in_proj.kernel  (d, 3d)``  → ``P(None, "model")`` (+bias on model)
+  * ``out_proj.kernel (d, d)``   → ``P("model", None)``
+  * ``linear1.kernel  (d, ffd)`` → ``P(None, "model")`` (+bias on model)
+  * ``linear2.kernel  (ffd, d)`` → ``P("model", None)``
+
+Enable via ``hp.trainer.model_parallel: N`` (mesh becomes
+``(n_devices // N, N)``); requires ``3*dim``, ``ffd_size``, ``dim`` and
+``nheads`` divisible by N.  The Pallas flash-attention forward is a
+custom call that GSPMD cannot partition, so under TP the dense XLA
+attention path should be selected (``self_attn.use_flash: false``); the
+dense einsums partition on the head axis automatically.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh_2d(n_model: int, n_data: Optional[int] = None) -> Mesh:
+    """(data, model) mesh; the model axis is innermost so TP
+    collectives ride adjacent-chip ICI links."""
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = np.asarray(devices[: n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def _path_str(path) -> str:
+    return "/".join(str(p) for p in path)
+
+
+def param_spec(path, leaf) -> P:
+    """PartitionSpec for one parameter by its pytree path."""
+    s = _path_str(path)
+    if "in_proj" in s or "linear1" in s:
+        if "kernel" in s:
+            return P(None, "model")
+        if "bias" in s:
+            return P("model")
+    if "out_proj" in s or "linear2" in s:
+        if "kernel" in s:
+            return P("model", None)
+        # row-parallel bias is added after the all-reduce → replicated
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Device-put a parameter pytree with TP specs when the mesh has a
+    ``model`` axis (falls back to full replication otherwise)."""
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params)
+    n_model = mesh.shape["model"]
+
+    def put(path, x):
+        spec = param_spec(path, x)
+        # Only shard when the annotated axis divides evenly.
+        for dim_idx, axis in enumerate(spec):
+            if axis is not None and x.shape[dim_idx] % n_model != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)

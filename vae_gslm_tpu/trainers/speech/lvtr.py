@@ -96,10 +96,14 @@ class LVTRTrainer(BaseTrainer):
     def _setup_state(self):
         self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
                                                 ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.params = mesh_lib.place_params(params, self.mesh)
         self.rest = mesh_lib.replicate_tree(rest, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        if mesh_lib.has_model_axis(self.mesh):
+            # zeros_like in optax init follows the params' TP shardings.
+            self.opt_state = self.tx.init(self.params)
+        else:
+            self.opt_state = mesh_lib.replicate_tree(
+                self.tx.init(self.params), self.mesh)
         if self.freeze_encoder:
             def frozen(path, leaf):
                 root = str(getattr(path[0], "key", path[0]))
@@ -371,9 +375,16 @@ class LVTRTrainer(BaseTrainer):
         template = {"params": self.params, "opt_state": self.opt_state,
                     "step": self.global_step}
         state = restore_train_state(path, template)
-        self.params = mesh_lib.replicate_tree(state["params"], self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(state["opt_state"],
-                                                 self.mesh)
+        self.params = mesh_lib.place_params(state["params"], self.mesh)
+        if mesh_lib.has_model_axis(self.mesh):
+            # Restore onto the TP shardings of a freshly-init template.
+            template = self.tx.init(self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda z, s: jax.device_put(np.asarray(s), z.sharding),
+                template, state["opt_state"])
+        else:
+            self.opt_state = mesh_lib.replicate_tree(state["opt_state"],
+                                                     self.mesh)
         self.global_step = int(state["step"])
 
     def save_full_state(self, path: str) -> None:

@@ -113,7 +113,17 @@ class BaseTrainer:
             self.gradient_update_step = hp.training.gradient_accumulation
         n_dev = hp.trainer.get("n_devices", None) if hp.has("trainer") \
             else None
-        self.mesh = mesh_lib.create_mesh(n_dev)
+        mp = hp.trainer.get("model_parallel", None) if hp.has("trainer") \
+            else None
+        if mp and mp > 1:
+            # (data, model) mesh: Megatron-style tensor parallelism for
+            # the transformer trunk via sharding annotations alone
+            # (parallel/tp.py); beyond the reference's DDP-only scale.
+            from ..parallel import tp
+            self.mesh = tp.create_mesh_2d(
+                mp, n_dev // mp if n_dev else None)
+        else:
+            self.mesh = mesh_lib.create_mesh(n_dev)
         self.global_step = 0
         self.logger: Optional[ExperimentLogger] = None
 
