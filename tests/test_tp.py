@@ -116,3 +116,29 @@ def test_trainer_model_parallel_mesh():
     t = BaseTrainer(hp)
     assert dict(t.mesh.shape) == {"data": 4, "model": 2}
     assert mesh_lib.has_model_axis(t.mesh)
+
+
+@requires_8
+def test_tp_sampler_parity():
+    """ARTRSampler over a (data, model) mesh: the full jitted
+    encode→prefill→scan→diffusion pipeline partitions under GSPMD and
+    reproduces the single-device samples."""
+    from tests.test_lvtr_step_parity import HP, N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+    from vae_gslm_tpu.models.speech.lvtr import LVTR
+
+    m = LVTR(HP, input_dim=N_MELS, rngs=nnx.Rngs(0))
+    b, tp_, length = 4, 5, 4
+    rng = np.random.RandomState(0)
+    prior = Masked.full(jnp.asarray(rng.randn(b, tp_, N_MELS),
+                                    jnp.float32))
+    key = jax.random.PRNGKey(0)
+    base = ARTRSampler(m)(length, prior, key)
+    mesh = tp.create_mesh_2d(2, 2)
+    got = ARTRSampler(m, mesh=mesh)(length, prior, key)
+    np.testing.assert_allclose(np.asarray(got["output"].value),
+                               np.asarray(base["output"].value),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["frames"].value),
+                               np.asarray(base["frames"].value),
+                               rtol=1e-3, atol=1e-4)

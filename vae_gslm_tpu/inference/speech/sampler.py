@@ -29,15 +29,32 @@ class ARTRSampler:
 
     ``kv_dtype``: cache dtype; ``jnp.int8`` enables the quantized KV
     cache (halves decode HBM traffic, small numeric delta).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
+    a 1-D ``data`` mesh shards the batch; a 2-D ``(data, model)`` mesh
+    additionally tensor-shards the trunk weights (``parallel/tp.py``) —
+    the decode path is plain XLA einsums, so GSPMD partitions the KV
+    cache and attention on the head axis that follows the qkv sharding.
     """
 
-    def __init__(self, model, kv_dtype=None):
+    def __init__(self, model, kv_dtype=None, mesh=None):
         self.model = model
         self.kv_dtype = kv_dtype
+        self.mesh = mesh
         self.has_utterance = getattr(model, "utterance_net", None) \
             is not None
         self.use_tokens = getattr(model, "use_tokens", False)
         self._compiled = {}
+
+    def _place(self, state, prior: Masked):
+        if self.mesh is None:
+            return state, prior
+        from ...parallel import mesh as mesh_lib
+        state = mesh_lib.place_params(state, self.mesh)
+        sharded = mesh_lib.shard_batch(
+            {"v": prior.value, "l": prior.lengths}, self.mesh)
+        return state, Masked(sharded["v"], sharded["l"],
+                             prior.time_axis)
 
     def _build(self, length: int, temperature: float,
                token_temperature: float, truncated_norm,
@@ -138,6 +155,7 @@ class ARTRSampler:
                 length, temperature, token_temperature, truncated_norm,
                 encoder_temperature, return_attn)
         _, state = nnx.split(self.model)
+        state, prior = self._place(state, prior)
         return self._compiled[sig](state, prior, key)
 
 
