@@ -161,12 +161,16 @@ class ARTRSampler:
 
 class DiscreteARSampler:
     """Sampler for the token-LM baseline (``inference/speech/hubert.py``
-    path): SOS prefill + scan, decode via the frozen codec."""
+    path): SOS prefill + scan, decode via the frozen codec.  ``mesh``
+    as in :class:`ARTRSampler`."""
 
-    def __init__(self, model, kv_dtype=None):
+    def __init__(self, model, kv_dtype=None, mesh=None):
         self.model = model
         self.kv_dtype = kv_dtype
+        self.mesh = mesh
         self._compiled = {}
+
+    _place = ARTRSampler._place
 
     def _build(self, length: int, temperature: float):
         graphdef, state = nnx.split(self.model)
@@ -237,4 +241,5 @@ class DiscreteARSampler:
         if sig not in self._compiled:
             self._compiled[sig] = self._build(length, temperature)
         _, state = nnx.split(self.model)
+        state, prior_tokens = self._place(state, prior_tokens)
         return self._compiled[sig](state, prior_tokens, key)

@@ -29,9 +29,26 @@ Array = jax.Array
 
 
 class ARTRTTSSampler:
-    def __init__(self, model):
+    """``mesh``: optional Mesh for multi-chip serving (batch sharded on
+    the data axis; trunk tensor-sharded on a (data, model) mesh — see
+    ``parallel/tp.py`` and ``inference/speech/sampler.py``)."""
+
+    def __init__(self, model, mesh=None):
         self.model = model
+        self.mesh = mesh
         self._compiled = {}
+
+    def _place(self, state, *batched: Masked):
+        if self.mesh is None:
+            return (state,) + batched
+        from ...parallel import mesh as mesh_lib
+        state = mesh_lib.place_params(state, self.mesh)
+        out = []
+        for m in batched:
+            sh = mesh_lib.shard_batch(
+                {"v": m.value, "l": m.lengths}, self.mesh)
+            out.append(Masked(sh["v"], sh["l"], m.time_axis))
+        return (state,) + tuple(out)
 
     def _build(self, max_frames: int, min_frames: int,
                temperature: float, eos_threshold: float,
@@ -107,6 +124,7 @@ class ARTRTTSSampler:
         if sig not in self._compiled:
             self._compiled[sig] = self._build(*sig)
         _, state = nnx.split(self.model)
+        state, text, spkr = self._place(state, text, spkr)
         return self._compiled[sig](state, text, spkr, key)
 
 
