@@ -252,8 +252,22 @@ def _dispatch(q, k, v, lengths, slopes, causal, block_q):
             return _flash_forward(q, k, v, lengths, slopes, causal,
                                   block_q)
         except Exception:
-            pass
+            _warn_fallback("forward")
     return _attention_reference(q, k, v, lengths, slopes, causal)
+
+
+_warned = set()
+
+
+def _warn_fallback(which: str) -> None:
+    """Falling back silently would hide a broken kernel as a slowdown —
+    log once per direction."""
+    if which not in _warned:
+        _warned.add(which)
+        import logging
+        logging.getLogger(__name__).warning(
+            "Pallas flash attention %s failed to trace/compile; "
+            "using the XLA dense path (slower).", which)
 
 
 def _fwd(q, k, v, lengths, slopes, causal, block_q):
@@ -270,7 +284,7 @@ def _bwd(causal, block_q, res, g):
                                          causal)
             return dq, dk, dv, None, None
         except Exception:
-            pass
+            _warn_fallback("backward")
     # XLA backward through the reference formulation.
     def f(q, k, v):
         return _attention_reference(q, k, v, lengths, slopes, causal)
