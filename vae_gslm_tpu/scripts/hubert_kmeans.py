@@ -9,7 +9,11 @@ tokenize every file to ``line|tok tok ...`` lines.  Skips clips ≥
 
 TPU-native: the HF HubertModel + faiss become the JAX
 ``HubertEncoder`` (+ bf16 compute, the fp16-on-GPU analogue) and the
-MXU matmul-argmin k-means in ``ops/kmeans.py``.
+MXU matmul-argmin k-means in ``ops/kmeans.py``.  Unlike the
+reference's one-file-per-forward loop, files are batched
+(``--batch_size``, grouped into 1 s length buckets so each (batch,
+padded-length) shape compiles once), audio decode runs on a thread
+pool overlapping TPU compute, and output order is preserved.
 """
 from __future__ import annotations
 
@@ -17,7 +21,10 @@ import argparse
 import logging
 import os
 import random
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
+from typing import List, Optional
 
 import numpy as np
 
@@ -33,6 +40,10 @@ def load_metadata(metadata: str):
     return lines, fns
 
 
+BUCKET = 16000          # 1 s length buckets → few compiled shapes
+SLAB = 512              # files resident in memory at once
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(
         prog="Run HuBERT tokenization on a parsed metadata")
@@ -46,6 +57,7 @@ def main() -> None:
     parser.add_argument("-v", "--vocab", type=int, default=200)
     parser.add_argument("-p", "--percentage", type=float, default=0.1)
     parser.add_argument("-s", "--size_max", type=float, default=60)
+    parser.add_argument("-b", "--batch_size", type=int, default=8)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 compute for the encoder")
     args = parser.parse_args()
@@ -69,33 +81,59 @@ def main() -> None:
     def encode(state, wave, lengths):
         return nnx.merge(graphdef, state)(wave, lengths)
 
-    def features(path: str):
-        wave, sr = audio_lib.load_audio(path)
+    def load_one(fn: str) -> Optional[np.ndarray]:
+        wave, sr = audio_lib.load_audio(os.path.join(args.wavdir, fn))
         assert sr == 16000
         wave = audio_lib.to_mono(wave)
         if len(wave) / float(sr) >= args.size_max:
             return None
-        wave = normalize_input(wave)
-        # Bucket-pad for compile-cache friendliness; padded frames are
-        # masked out of attention inside the encoder.
-        bucket = 16000
-        padded = int(np.ceil(len(wave) / bucket)) * bucket
-        n_frames = model.frame_count(len(wave))
-        lengths = np.asarray([len(wave)], np.int32)
-        wave = np.pad(wave, (0, padded - len(wave)))
-        out = np.asarray(encode(state, wave[None], lengths))[0]
-        return out[:n_frames]
+        return normalize_input(wave)
 
+    bsz = args.batch_size
+
+    def encode_many(waves: List[Optional[np.ndarray]]
+                    ) -> List[Optional[np.ndarray]]:
+        """Batched bucket-padded encoding; feats[i] aligns with
+        waves[i] (None for skipped files)."""
+        feats: List[Optional[np.ndarray]] = [None] * len(waves)
+        buckets = defaultdict(list)
+        for i, w in enumerate(waves):
+            if w is not None and len(w) > 0:
+                padded = int(np.ceil(len(w) / BUCKET)) * BUCKET
+                buckets[padded].append(i)
+        for padded in sorted(buckets):
+            idxs = buckets[padded]
+            for start in range(0, len(idxs), bsz):
+                chunk = idxs[start: start + bsz]
+                # Fixed batch: pad with empty rows so each
+                # (batch, padded) shape compiles exactly once.
+                batch = np.zeros((bsz, padded), np.float32)
+                lengths = np.zeros((bsz,), np.int32)
+                for j, gi in enumerate(chunk):
+                    w = waves[gi]
+                    batch[j, : len(w)] = w
+                    lengths[j] = len(w)
+                out = np.asarray(encode(state, batch,
+                                        np.maximum(lengths, 1)))
+                for j, gi in enumerate(chunk):
+                    nf = model.frame_count(int(lengths[j]))
+                    feats[gi] = out[j][:nf]
+        return feats
+
+    def slabs(items):
+        for i in range(0, len(items), SLAB):
+            yield items[i: i + SLAB]
+
+    pool = ThreadPoolExecutor(max_workers=8)
     dataset = list(zip(*load_metadata(args.input)))
 
     if args.centroids is None:
         subset = random.sample(dataset,
                                int(len(dataset) * args.percentage))
         kmvs = []
-        for line, fn in subset:
-            out = features(os.path.join(args.wavdir, fn))
-            if out is not None:
-                kmvs.append(out)
+        for slab in slabs(subset):
+            waves = list(pool.map(load_one, [fn for _, fn in slab]))
+            kmvs.extend(f for f in encode_many(waves) if f is not None)
         kmvs = np.concatenate(kmvs, 0)
         logging.info("Training Kmeans on %s features...", kmvs.shape)
         kmeans = KMeans(kmvs.shape[-1], args.vocab, niter=20)
@@ -108,12 +146,14 @@ def main() -> None:
         kmeans = KMeans.load(args.centroids)
 
     with open(args.output, "w") as f:
-        for line, fn in dataset:
-            out = features(os.path.join(args.wavdir, fn))
-            if out is None:
-                continue
-            toks = kmeans.search(out)
-            f.write(f"{line}|{args.delimiter.join(map(str, toks))}\n")
+        for slab in slabs(dataset):
+            waves = list(pool.map(load_one, [fn for _, fn in slab]))
+            feats = encode_many(waves)
+            for (line, _fn), ft in zip(slab, feats):
+                if ft is None:
+                    continue
+                toks = kmeans.search(ft)
+                f.write(f"{line}|{args.delimiter.join(map(str, toks))}\n")
     logging.info("Wrote tokens to %s", args.output)
 
 
