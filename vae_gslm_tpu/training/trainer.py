@@ -219,11 +219,18 @@ class BaseTrainer:
                 micro = []
                 if profile_dir and not profiled \
                         and self.global_step == 10:
-                    jax.profiler.start_trace(profile_dir)
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                    except Exception as e:  # tunneled platforms may
+                        log.warning("profiler unavailable: %s", e)
+                        profiled = True
                 metrics = self.run_step(stacked)
                 if profile_dir and not profiled \
                         and self.global_step == 12:
-                    jax.profiler.stop_trace()
+                    try:
+                        jax.profiler.stop_trace()
+                    except Exception as e:
+                        log.warning("profiler stop failed: %s", e)
                     profiled = True
                 self.global_step += 1
                 if self.global_step % log_every == 0:
