@@ -10,6 +10,18 @@ becomes (prefill step) + ``lax.scan`` over a **static** KV cache — the
 entire prompt→continuation→mel pipeline jits into one XLA program per
 (batch, prompt, length) shape, with per-step PRNG splits.  A DiscreteAR
 variant covers the token-LM baseline.
+
+PRNG contract (SURVEY §7 "documented PRNG contract"): sampled
+continuations are a deterministic function of the single ``key``
+argument.  ``key`` splits into (encoder-noise, initial-state, prefill,
+diffusion-decode, scan) subkeys; the scan subkey splits into one key
+per AR step; inside each step the model splits (prior-noise,
+token-multinomial).  The stream is therefore reproducible across runs
+and independent of batch position, device count, or mesh layout —
+changing ``length`` changes the scan split count and hence the stream
+(as re-running the reference's torch loop with a different length
+would).  PyTorch's ``randn``/``multinomial`` draws cannot be matched
+bit-for-bit; distributional equivalence is what is preserved.
 """
 from __future__ import annotations
 
