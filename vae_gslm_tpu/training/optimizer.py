@@ -57,6 +57,13 @@ def make_schedule(hp: Hparams, total_steps: int, base_lr: float
     else:
         raise NotImplementedError(ident)
     if hp.has("finish_steps"):
+        # Constant absolute floor at min_lr — the cosine segment
+        # anneals to eta_min == min_lr (absolute), so this is the
+        # evident intent.  The reference instead passes min_lr as a
+        # torch ConstantLR *factor* (``optimizer.py:100``), which
+        # scales base_lr by min_lr for ConstantLR's default 5 steps
+        # and then snaps back to full base_lr — a latent bug we do
+        # not copy.
         assert hp.get("min_lr", 0) != 0
         schedules.append(lambda t: hp.min_lr)
         milestone += main_steps
