@@ -59,3 +59,30 @@ def test_kmeans_save_load(tmp_path):
     km2 = KMeans.load(p)
     np.testing.assert_array_equal(km.centroids, km2.centroids)
     np.testing.assert_array_equal(km.search(x), km2.search(x))
+
+
+def test_decode_attention_int8_matches_fp32():
+    """int8 KV decode (s8xs8 QK matmul + per-token scales) stays within
+    ~1% of the fp32 path, windowed or not."""
+    import jax.numpy as jnp
+
+    from vae_gslm_tpu.nn.attention import _quantize_i8
+    from vae_gslm_tpu.nn.positions import alibi_slopes
+    from vae_gslm_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 4, 8, 96, 16
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    q = jnp.asarray(rng.randn(b, h, d), jnp.float32)
+    k_i8, ks = _quantize_i8(k)
+    v_i8, vs = _quantize_i8(v)
+    slopes = -jnp.asarray(alibi_slopes(h), jnp.float32)
+    for pos_i, window in ((0, None), (40, None), (40, 64), (95, None)):
+        pos = jnp.asarray(pos_i, jnp.int32)
+        ref = np.asarray(decode_attention(q, k, v, pos, slopes, window,
+                                          None, None))
+        out = np.asarray(decode_attention(q, k_i8, v_i8, pos, slopes,
+                                          window, ks, vs))
+        err = np.abs(out - ref).max() / np.abs(ref).max()
+        assert err < 2e-2, (pos_i, window, err)
