@@ -187,6 +187,7 @@ sample_length: 0.4
 sample_prior_length: 0.2
 ckpt_path: "{ckpt_dir}"
 diffusion: {{sampling_timesteps: 3, ddim_sampling_eta: 0.5}}
+kv_cache_dtype: "int8"
 vocoder: {{path: "{vocoder_dir}"}}
 model: {{identifier: "models.speech.lvtr.LVTR"}}
 data:
