@@ -516,3 +516,58 @@ data:
     trainer.hp.logging.plot_attn = True
     trainer.validation_run(step=3)
     logger.close()
+
+
+def test_discrete_inferer_end_to_end(corpus, hubert_codec_dir,
+                                     tmp_path_factory):
+    """SpeechInferer on a DiscreteAR checkpoint (the `hubert` branch:
+    token prompt -> AR token continuation -> codec decode -> wav)."""
+    from vae_gslm_tpu.inference.speech.inferer import SpeechInferer
+    from vae_gslm_tpu.trainers.speech.discrete import DiscreteARTrainer
+
+    root = tmp_path_factory.mktemp("dar_infer")
+    trainer = DiscreteARTrainer(_discrete_hp(corpus, hubert_codec_dir))
+    logger = ExperimentLogger(str(root / "exp"))
+    trainer.fit(logger, max_steps=1, val_check_interval=10 ** 9,
+                log_every=1)
+    ckpt_dir = root / "ckpt"
+    ckpt_dir.mkdir()
+    trainer.save_checkpoint(str(ckpt_dir / "last-cpt.npz"))
+    trainer.hp.save(str(ckpt_dir / "hp.yaml"))
+    logger.close()
+
+    out_dir = root / "wavs"
+    ihp = Hparams.from_yaml(f"""
+identifier: "inference.speech.inferer.SpeechInferer"
+precision: "32"
+output_dir: "{out_dir}"
+temperature: 1.0
+sample_length: 0.3
+sample_prior_length: 0.2
+ckpt_path: "{ckpt_dir}"
+model: {{identifier: "models.speech.discrete.DiscreteAR"}}
+data:
+    path: "{corpus}/tokens.txt"
+    wavdir: "{corpus}"
+    sample_rate: 16000
+    with_text: false
+    with_tokens: true
+    num_workers: 2
+    batch_size: 2
+    min_audio_length: 0.4
+    bits_per_second: 32000
+    post_pad:
+        tokens: {{num_tokens: 25}}
+        mel: {{length: 0.5}}
+    sampler: {{type: standard, shuffle: false}}
+""")
+    inferer = SpeechInferer(ihp)
+    n = inferer.run(seed=0, max_batches=1)
+    assert n >= 1
+    import glob
+    wavs = sorted(glob.glob(str(out_dir / "*.wav")))
+    assert len(wavs) == n
+    from vae_gslm_tpu.data import audio as audio_lib
+    wave, sr = audio_lib.load_audio(wavs[0])
+    assert sr == 16000 and len(wave) > 0
+    assert np.isfinite(wave).all()

@@ -177,13 +177,31 @@ class SpeechInferer(BaseInferer):
                 prior_length = int(hp.sample_prior_length
                                    * self.token_sample_rate)
                 length = int(hp.sample_length * self.token_sample_rate)
+            prior_v = prior.value[:, :prior_length]
+            if self.model.f0 is not None:
+                # [token, f0] channels (``speech/inferer.py:131-133``).
+                f0 = batch["f0"].value[:, :prior_length]
+                prior_v = np.concatenate(
+                    [np.asarray(prior_v, np.float32)[..., None],
+                     np.asarray(f0, np.float32)[..., None]], -1)
             prior = Masked(
-                prior.value[:, :prior_length],
+                prior_v,
                 np.minimum(np.asarray(prior.lengths), prior_length), 1)
             full = self.sampler(length, prior, key,
                                 temperature=hp.temperature)
+            dec_kw = {}
+            if self.model.codec.model.hp.has("spkr"):
+                # Speaker-conditioned codec decodes with the prompt mel
+                # (``speech/inferer.py:134-147``).
+                mel_len = int(hp.sample_prior_length
+                              * self.mel_sample_rate)
+                mel = batch["mel"]
+                dec_kw["spkr"] = Masked(
+                    mel.value[:, :mel_len],
+                    np.minimum(np.asarray(mel.lengths), mel_len), 1)
             audio = self.model.decode(full,
-                                      key=jax.random.fold_in(key, 1))
+                                      key=jax.random.fold_in(key, 1),
+                                      **dec_kw)
         else:
             mel = batch["mel"]
             prior_length = int(hp.sample_prior_length
