@@ -64,6 +64,7 @@ def main() -> None:
 
     use_int8 = os.environ.get("BENCH_KV_INT8", "1") != "0"
     kv_dtype = jnp.int8 if use_int8 else None
+    w_int8 = os.environ.get("BENCH_W_INT8", "0") != "0"
     if os.environ.get("BENCH_BF16_PARAMS", "1") != "0":
         # Pre-cast trainable params to bf16 so the AR scan reads half
         # the weight bytes (norm/distribution math still runs fp32 via
@@ -74,7 +75,8 @@ def main() -> None:
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, p)
         _nnx.update(model, p)
-    sampler = ARTRSampler(model, kv_dtype=kv_dtype)
+    sampler = ARTRSampler(model, kv_dtype=kv_dtype,
+                          quantize_weights=w_int8)
     g_graphdef, g_state = nnx.split(generator)
 
     @jax.jit

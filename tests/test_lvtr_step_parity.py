@@ -136,3 +136,34 @@ def test_sampler_return_attn_maps():
     np.testing.assert_allclose(np.asarray(out["output"].value),
                                np.asarray(ref["output"].value),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_weight_int8_step_close_and_sampler_runs():
+    """Weight-only int8 trunk (serving mode): a temperature-0 step stays
+    close to the fp32 trunk, and the full sampler pipeline runs."""
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    m = LVTR(HP, input_dim=N_MELS, rngs=nnx.Rngs(0))
+    b, t = 2, 6
+    rng = np.random.RandomState(0)
+    mel = Masked.full(jnp.asarray(rng.randn(b, t, N_MELS), jnp.float32))
+    key = jax.random.PRNGKey(3)
+    latents = m.encode(mel, key, temperature=0.0)
+    caches = m.init_cache(b, t + 1, dtype=jnp.float32)
+    ref, _ = m.step(latents.value, caches, jnp.asarray(0), key,
+                    temperature=0.0, push_init_state=True,
+                    init_key=jax.random.PRNGKey(9))
+
+    m2 = LVTR(HP, input_dim=N_MELS, rngs=nnx.Rngs(0))
+    sampler = ARTRSampler(m2, quantize_weights=True)
+    assert m2.transformer.layers[0].self_attn.in_proj.kernel[...].dtype \
+        == jnp.int8
+    caches = m2.init_cache(b, t + 1, dtype=jnp.float32)
+    got, _ = m2.step(latents.value, caches, jnp.asarray(0), key,
+                     temperature=0.0, push_init_state=True,
+                     init_key=jax.random.PRNGKey(9))
+    err = (np.abs(np.asarray(got) - np.asarray(ref)).max()
+           / (np.abs(np.asarray(ref)).max() + 1e-9))
+    assert err < 0.05, err
+    out = sampler(4, mel, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out["output"].value)).all()

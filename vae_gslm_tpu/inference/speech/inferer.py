@@ -102,7 +102,9 @@ class SpeechInferer(BaseInferer):
             if hp.get("kv_cache_dtype", None) == "int8":
                 import jax.numpy as jnp
                 kv_dtype = jnp.int8
-            self.sampler = ARTRSampler(self.model, kv_dtype=kv_dtype)
+            self.sampler = ARTRSampler(
+                self.model, kv_dtype=kv_dtype,
+                quantize_weights=hp.get("weight_dtype", None) == "int8")
         self.use_tokens = getattr(self.model, "use_tokens", False)
         if self.use_tokens:
             self.hp_hubert = Hparams(

@@ -47,12 +47,20 @@ class ARTRSampler:
     additionally tensor-shards the trunk weights (``parallel/tp.py``) —
     the decode path is plain XLA einsums, so GSPMD partitions the KV
     cache and attention on the head axis that follows the qkv sharding.
+
+    ``quantize_weights=True`` converts the trunk projections to
+    weight-only int8 in place (per-out-channel scales): weights stream
+    ~400 MB/step bf16 at the flagship scale and dominate AR decode at
+    small serving batches.  Mutates the model (inference-only).
     """
 
-    def __init__(self, model, kv_dtype=None, mesh=None):
+    def __init__(self, model, kv_dtype=None, mesh=None,
+                 quantize_weights=False):
         self.model = model
         self.kv_dtype = kv_dtype
         self.mesh = mesh
+        if quantize_weights:
+            model.transformer.quantize_weights_int8()
         self.has_utterance = getattr(model, "utterance_net", None) \
             is not None
         self.use_tokens = getattr(model, "use_tokens", False)

@@ -296,3 +296,25 @@ class TransformerLayerStack(nnx.Module):
     def set_uniform(self, std: float, *, key: jax.Array) -> None:
         if self.rpe_id == "T5RPE":
             self.rpe.set_uniform(std, key=key)
+
+    def quantize_weights_int8(self) -> None:
+        """Inference-only weight int8 (per-out-channel scales) for every
+        projection in the stack — halves the ~2 bytes/param/step weight
+        HBM traffic of AR decode, which dominates at small serving
+        batches.  Irreversible on this instance; use on a sampling
+        copy."""
+        for layer in self.layers:
+            layer.self_attn.in_proj.quantize_int8()
+            layer.self_attn.out_proj.quantize_int8()
+            layer.linear1.quantize_int8()
+            layer.linear2.quantize_int8()
+            if layer.cross_attn is not None:
+                layer.cross_attn.q_proj.quantize_int8()
+                layer.cross_attn.kv_proj.quantize_int8()
+                layer.cross_attn.out_proj.quantize_int8()
+        if self.linear is not None:
+            self.linear.quantize_int8()
+        if self.memory_linear is not None:
+            self.memory_linear.quantize_int8()
+        if self.out is not None:
+            self.out.quantize_int8()
