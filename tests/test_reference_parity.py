@@ -1,0 +1,396 @@
+"""Golden side-by-side parity against the reference's OWN torch code.
+
+Unlike the per-module torch-parity tests (which reimplement torch
+semantics inline), these tests import ``/root/reference``'s actual
+modules (via ``tests/reference_compat.py`` — lightning/torchaudio
+typing stubs only), build the reference models under the installed
+torch, convert their ``state_dict`` through
+``vae_gslm_tpu/models/convert_torch.py``, and require matching
+outputs.  This is the strongest offline correctness claim available:
+"our program matches the reference program" on its deployment
+checkpoint format.
+
+Parity targets (reference file:line):
+  * LVTR likelihood (tokens + flow): models/speech/lvtr.py:337-388
+  * LVTR likelihood (continuous + flow log_p branch): same
+  * LVTR AR step / KV cache decode loop: models/speech/lvtr.py:227-286
+    + trainers/speech/sampler.py:50-62
+  * LVTR diffusion denoiser: modules/diffusion/ddpm.py:245-255
+  * HiFi-GAN Generator: models/vocoder/hfgan.py:91-163
+  * HuBERT token→mel: models/vocoder/hubert.py:42-168
+  * DiscreteAR likelihood: models/speech/discrete.py:131-257
+  * masked losses: training_lib/losses.py:9-73
+"""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from tests.reference_compat import ref_import, ref_hparams
+from tests.test_models import HFG_HP, N_MELS, TINY_LVTR
+from vae_gslm_tpu.core.masked import Masked
+from vae_gslm_tpu.hparams.hp import Hparams
+from vae_gslm_tpu.models.convert_torch import (load_torch_discrete_ar,
+                                               load_torch_hubert_decoder,
+                                               load_torch_lvtr)
+from vae_gslm_tpu.models.speech.lvtr import LVTR
+
+ATOL = 2e-5
+RTOL = 1e-4
+
+
+def allclose(name, ref, ours, atol=ATOL, rtol=RTOL):
+    ref = np.asarray(ref.detach().numpy() if torch.is_tensor(ref)
+                     else ref)
+    ours = np.asarray(ours)
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=atol,
+                               err_msg=name)
+
+
+def _lvtr_pair(hp_ours, seed=0):
+    """Reference LVTR + our LVTR with the reference's weights."""
+    ref_mod = ref_import("models.speech.lvtr")
+    torch.manual_seed(seed)
+    ref = ref_mod.LVTR(ref_hparams(hp_ours), input_dim=N_MELS)
+    ref.eval()
+    ours = LVTR(hp_ours, input_dim=N_MELS, rngs=nnx.Rngs(seed + 99))
+    load_torch_lvtr(ours, ref.state_dict())
+    return ref, ours
+
+
+def _pin_init(ref, ours, init):
+    """Pin both models' random uniform initial AR state to the same
+    value (the one sampled quantity in the likelihood paths)."""
+    tinit = torch.tensor(init)
+    jinit = jnp.asarray(init)
+    ref.initial_state = lambda bsize, device=None, nfeat=None: tinit
+    ours.initial_state = lambda key, bsize, nfeat=None: jinit
+
+
+def _mel_tok_batch(b=2, t=12, vocab=11, seed=0):
+    rng = np.random.RandomState(seed)
+    mel = rng.randn(b, t, N_MELS).astype(np.float32)
+    toks = rng.randint(0, vocab, (b, t, 1)).astype(np.float32)
+    x = np.concatenate([toks, mel], -1)
+    lengths = np.asarray([t, t - 3][:b], np.int64)
+    return x, lengths
+
+
+def _tm(x, lengths):
+    tm = ref_import("utils.tensormask")
+    return tm.TensorMask.fromlength(torch.tensor(x),
+                                    torch.tensor(lengths))
+
+
+def _mj(x, lengths):
+    return Masked.from_lengths(jnp.asarray(x), jnp.asarray(lengths))
+
+
+# ------------------------------------------------------------------ LVTR
+def test_lvtr_likelihood_parity_tokens_flow():
+    ref, ours = _lvtr_pair(TINY_LVTR)
+    x, lengths = _mel_tok_batch()
+    init = (np.random.RandomState(1).rand(2, 1, 8) * 2 - 1).astype(
+        np.float32)
+    _pin_init(ref, ours, init)
+    with torch.no_grad():
+        ll_ref = ref.likelihood(_tm(x, lengths), temperature=0.0)
+    ll_ours = ours.likelihood(_mj(x, lengths), jax.random.PRNGKey(0),
+                              temperature=0.0)
+    allclose("likelihood(tokens)", ll_ref, ll_ours)
+
+
+def _no_token_hp():
+    d = TINY_LVTR.to_dict()
+    del d["tokens"]
+    import json
+    return Hparams.from_json(json.dumps(d))
+
+
+def test_lvtr_likelihood_parity_continuous_flow():
+    """No-token config exercises the flow-corrected continuous log_p
+    branch that the token branch overrides (lvtr.py:356-375)."""
+    hp = _no_token_hp()
+    ref, ours = _lvtr_pair(hp, seed=3)
+    x, lengths = _mel_tok_batch()
+    x = x[..., 1:]  # mel only
+    init = (np.random.RandomState(2).rand(2, 1, 4) * 2 - 1).astype(
+        np.float32)
+    _pin_init(ref, ours, init)
+    with torch.no_grad():
+        ll_ref = ref.likelihood(_tm(x, lengths), temperature=0.0)
+    ll_ours = ours.likelihood(_mj(x, lengths), jax.random.PRNGKey(0),
+                              temperature=0.0)
+    allclose("likelihood(continuous)", ll_ref, ll_ours)
+
+
+def test_lvtr_ar_step_kv_cache_parity():
+    """Multi-step AR decode: prefill with the prompt (+pinned initial
+    state), then 4 single-frame steps threading the reference's
+    dynamic past_kv against our static KV cache.  temperature=0 makes
+    latents deterministic; token_temperature→0 makes the token
+    multinomial an argmax on both sides (trainers/speech/sampler.py:50-62)."""
+    ref, ours = _lvtr_pair(TINY_LVTR, seed=5)
+    b, tp, nsteps = 2, 5, 4
+    x, _ = _mel_tok_batch(b, tp)
+    lengths = np.asarray([tp, tp], np.int64)
+    init = (np.random.RandomState(3).rand(b, 1, 8) * 2 - 1).astype(
+        np.float32)
+    _pin_init(ref, ours, init)
+
+    with torch.no_grad():
+        enc_r = ref.encode(_tm(x, lengths), temperature=0.0)
+    enc_j = ours.encode(_mj(x, lengths), jax.random.PRNGKey(0),
+                        temperature=0.0)
+    allclose("encode(temp0)", enc_r.value, enc_j.value)
+
+    # reference: dynamic KV threading
+    with torch.no_grad():
+        out_r = ref.step(enc_r.value, past_kv=None, temperature=0.0,
+                         token_temperature=1e-4, push_init_state=True)
+        frames_r = [out_r["output"][:, -1:]]
+        kv = out_r["kv"]
+        for _ in range(nsteps - 1):
+            out_r = ref.step(frames_r[-1], past_kv=kv, temperature=0.0,
+                             token_temperature=1e-4)
+            kv = out_r["kv"]
+            frames_r.append(out_r["output"])
+
+    # ours: static cache + positions
+    max_len = tp + 1 + nsteps
+    caches = ours.init_cache(b, max_len, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    out_j, caches = ours.step(enc_j.value, caches, jnp.asarray(0), key,
+                              temperature=0.0, token_temperature=1e-4,
+                              push_init_state=True,
+                              init_key=jax.random.PRNGKey(1))
+    frames_j = [out_j[:, -1:]]
+    pos = tp + 1
+    for i in range(nsteps - 1):
+        f, caches = ours.step(frames_j[-1], caches, jnp.asarray(pos + i),
+                              jax.random.fold_in(key, i),
+                              temperature=0.0, token_temperature=1e-4)
+        frames_j.append(f)
+
+    for i, (fr, fj) in enumerate(zip(frames_r, frames_j)):
+        fr = fr.detach().numpy()
+        fj = np.asarray(fj)
+        np.testing.assert_array_equal(fj[..., 0], fr[..., 0],
+                                      err_msg=f"step {i} token")
+        allclose(f"step {i} latent", fr[..., 1:], fj[..., 1:],
+                 atol=1e-4)
+
+
+def test_lvtr_diffusion_denoiser_parity():
+    """Deterministic denoiser prediction at fixed (x_t, t, cond)
+    (modules/diffusion/ddpm.py:245-255)."""
+    ref, ours = _lvtr_pair(TINY_LVTR, seed=8)
+    rng = np.random.RandomState(4)
+    b, t = 2, 10
+    cond_in = ref.decoder.model.cond_net.in_features
+    x = rng.randn(b, t, N_MELS).astype(np.float32)
+    cond = rng.randn(b, t, cond_in).astype(np.float32)
+    tt = np.asarray([3, 7], np.int64)
+    lengths = np.asarray([t, t - 2], np.int64)
+    with torch.no_grad():
+        pn_r, x0_r, *_ = ref.decoder.model_predictions(
+            _tm(x, lengths), torch.tensor(tt), _tm(cond, lengths))
+    pn_j, x0_j = ours.decoder.model_predictions(
+        _mj(x, lengths), jnp.asarray(tt), _mj(cond, lengths))
+    allclose("pred_noise", pn_r.value, pn_j.value, atol=1e-4)
+    allclose("pred_x0", x0_r.value, x0_j.value, atol=1e-4)
+
+
+# ------------------------------------------------------------- HiFi-GAN
+def test_hfgan_generator_parity():
+    hfgan_ref = ref_import("models.vocoder.hfgan")
+    from vae_gslm_tpu.models.vocoder.hfgan import Generator
+    from vae_gslm_tpu.models.vocoder.vocoder import load_torch_generator
+
+    torch.manual_seed(11)
+    ref = hfgan_ref.Generator(ref_hparams(HFG_HP))
+    ref.eval()
+    ours = Generator(HFG_HP, rngs=nnx.Rngs(0))
+    load_torch_generator(ours, ref.state_dict())
+
+    rng = np.random.RandomState(5)
+    b, t = 2, 17
+    mel = rng.randn(b, t, 10).astype(np.float32)
+    lengths = np.asarray([t, t - 4], np.int64)
+    with torch.no_grad():
+        y_r = ref(_tm(mel, lengths))
+    y_j = ours(_mj(mel, lengths))
+    assert np.array_equal(np.asarray(y_j.lengths),
+                          y_r.length.numpy())
+    allclose("generator wave", y_r.value, y_j.value, atol=1e-5)
+
+
+# ------------------------------------------------- HuBERT token→mel
+HUB_HP = Hparams.from_yaml("""
+embedding_dim: 8
+hubert: {vocab_size: 32, deduplicate: false, sample_rate: 50}
+embed_encoder:
+    num_layers: 1
+    layer:
+        in_channels: 8
+        hidden_channels: 16
+        kernel_size: 3
+        causal_padding: true
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+decoder:
+    diffusion:
+        timesteps: 8
+        sampling_timesteps: 3
+        loss_type: l1
+        objective: pred_noise
+        beta_schedule: {identifier: cosine}
+    cond_unet:
+        unet:
+            condition_dim: 8
+            num_layers: 1
+            resample_rates: [1]
+            resample_ksize: [1]
+            init_channel: 16
+            out_channels: [16]
+            hidden_channels: [32]
+            conditional: [true]
+            final_norm: true
+            layer:
+                kernel_size: 3
+                norm: {identifier: InstanceNorm, eps: 1.0e-6}
+                activation: {identifier: SiLU}
+                condition_type: concat
+        time_embedding:
+            dim: 16
+            maxpos: 8
+            activation: {identifier: SiLU}
+""")
+
+
+def test_hubert_decoder_parity():
+    hub_ref = ref_import("models.vocoder.hubert")
+    from vae_gslm_tpu.models.vocoder.hubert import HuBERT
+
+    torch.manual_seed(13)
+    ref = hub_ref.HuBERT(ref_hparams(HUB_HP), input_dim=N_MELS,
+                         mel_sample_rate=50)
+    ref.eval()
+    ours = HuBERT(HUB_HP, input_dim=N_MELS, mel_sample_rate=50,
+                  rngs=nnx.Rngs(0))
+    load_torch_hubert_decoder(ours, ref.state_dict())
+
+    rng = np.random.RandomState(6)
+    b, t = 2, 9
+    toks = rng.randint(0, 32, (b, t)).astype(np.int64)
+    lengths = np.asarray([t, t - 2], np.int64)
+    tm = ref_import("utils.tensormask")
+    with torch.no_grad():
+        cond_r = ref.embed_encoder(
+            ref.embedding(tm.TensorMask.fromlength(
+                torch.tensor(toks), torch.tensor(lengths))))
+    cond_j = ours.embed_encoder(
+        ours.embedding(Masked.from_lengths(jnp.asarray(toks),
+                                           jnp.asarray(lengths))))
+    allclose("hubert condition", cond_r.value, cond_j.value)
+
+    # denoiser head at fixed (x_t, t, cond)
+    x = rng.randn(b, t, N_MELS).astype(np.float32)
+    tt = np.asarray([2, 5], np.int64)
+    with torch.no_grad():
+        pn_r, x0_r, *_ = ref.decoder.model_predictions(
+            _tm(x, lengths), torch.tensor(tt),
+            tm.TensorMask(cond_r.value, cond_r.mask))
+    pn_j, x0_j = ours.decoder.model_predictions(
+        _mj(x, lengths), jnp.asarray(tt),
+        Masked(cond_j.value, cond_j.lengths, 1))
+    allclose("hubert pred_noise", pn_r.value, pn_j.value, atol=1e-4)
+    allclose("hubert pred_x0", x0_r.value, x0_j.value, atol=1e-4)
+
+
+# ------------------------------------------------------------ DiscreteAR
+DISC_HP = Hparams.from_yaml("""
+transformer:
+    bias: false
+    rpe: {identifier: ALiBi, maxpos: 64}
+    num_layers: 2
+    layer:
+        ffd_size: 32
+        dim: 16
+        norm: {identifier: RMSNorm, eps: 1.0e-6}
+        activation: {identifier: GELU}
+        self_attn: {nheads: 4, causal: true}
+""")
+DISC_VQ = Hparams(num_quantizers=1, codebook_size=32, dim=8)
+
+
+class _DummyCodec:
+    """Stands in for HuBERTIO: encode_mel is documented identity
+    (models/vocoder/vocoder.py:114-119)."""
+
+    def encode_mel(self, x):
+        return x
+
+    def parameters(self):
+        return []
+
+
+def test_discrete_ar_likelihood_parity():
+    disc_ref = ref_import("models.speech.discrete")
+    from vae_gslm_tpu.models.speech.discrete import DiscreteAR
+
+    torch.manual_seed(17)
+    ref = disc_ref.DiscreteAR(ref_hparams(DISC_HP),
+                              ref_hparams(DISC_VQ))
+    ref.soundstream = _DummyCodec()
+    ref.eval()
+    ours = DiscreteAR(DISC_HP, DISC_VQ, rngs=nnx.Rngs(0))
+    load_torch_discrete_ar(ours, ref.state_dict())
+
+    rng = np.random.RandomState(7)
+    b, t = 2, 11
+    toks = rng.randint(0, 32, (b, t)).astype(np.int64)
+    lengths = np.asarray([t, t - 3], np.int64)
+    tm = ref_import("utils.tensormask")
+    with torch.no_grad():
+        ll_r = ref.likelihood(tm.TensorMask.fromlength(
+            torch.tensor(toks), torch.tensor(lengths)))
+    ll_j = ours.likelihood(Masked.from_lengths(jnp.asarray(toks),
+                                               jnp.asarray(lengths)))
+    allclose("discrete likelihood", ll_r, ll_j)
+
+
+# --------------------------------------------------------------- losses
+def test_masked_losses_parity():
+    losses_ref = ref_import("training_lib.losses")
+    from vae_gslm_tpu.core import losses as losses_ours
+
+    tm = ref_import("utils.tensormask")
+    rng = np.random.RandomState(8)
+    b, t, c = 3, 10, 6
+    x = rng.randn(b, t, c).astype(np.float32)
+    y = rng.randn(b, t, c).astype(np.float32)
+    lengths = np.asarray([t, t - 2, t - 5], np.int64)
+
+    for fn_r, fn_j in ((losses_ref.masked_l1_loss,
+                        losses_ours.masked_l1_loss),
+                       (losses_ref.masked_l2_loss,
+                        losses_ours.masked_l2_loss)):
+        with torch.no_grad():
+            lr = fn_r(_tm(x, lengths), _tm(y, lengths))
+        lj = fn_j(_mj(x, lengths), _mj(y, lengths))
+        allclose(fn_r.__name__, lr, lj)
+
+    logits = rng.randn(b, t, 9).astype(np.float32)
+    labels = rng.randint(0, 9, (b, t)).astype(np.int64)
+    with torch.no_grad():
+        ce_r = losses_ref.masked_ce_loss(
+            _tm(logits, lengths),
+            tm.TensorMask.fromlength(torch.tensor(labels),
+                                     torch.tensor(lengths)))
+    ce_j = losses_ours.masked_ce_loss(
+        _mj(logits, lengths),
+        Masked.from_lengths(jnp.asarray(labels), jnp.asarray(lengths)))
+    allclose("masked_ce_loss", ce_r, ce_j)

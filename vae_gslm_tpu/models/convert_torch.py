@@ -141,7 +141,8 @@ def load_bottleneck(mod, sd: _SD, name: str) -> None:
     for i, s in enumerate(mod.samples):
         if s is not None:
             load_sample(s, sd, f"{name}.samples.{i}")
-    for i, s in enumerate(mod.skip_conv):
+    # plain ResNet (conv/layers.py:298-383) has no skip connections
+    for i, s in enumerate(getattr(mod, "skip_conv", ()) or ()):
         if s is not None:
             load_conv(s, sd, f"{name}.skip_conv.{i}")
     if mod.linear is not None:
@@ -216,7 +217,9 @@ def load_flow(mod, sd: _SD, name: str) -> None:
             load_dense(layer.linear2, sd, f"{p}.linear2")
             load_norm(layer.norm, sd, f"{p}.norm")
             if layer.film is not None:
-                load_film(layer.film, sd, f"{p}.film", time_first=False)
+                # Flow FiLM is nn.Linear (time_first=True default,
+                # flow/layers.py:29) unlike the conv blocks' Conv1d.
+                load_film(layer.film, sd, f"{p}.film", time_first=True)
         elif isinstance(layer, ConvCoupling):
             load_conv(layer.conv1, sd, f"{p}.conv1")
             load_conv(layer.conv2, sd, f"{p}.conv2")
@@ -398,7 +401,7 @@ def _x_bottleneck(out, mod, name):
     for i, s in enumerate(mod.samples):
         if s is not None:
             _x_sample(out, s, f"{name}.samples.{i}")
-    for i, s in enumerate(mod.skip_conv):
+    for i, s in enumerate(getattr(mod, "skip_conv", ()) or ()):
         if s is not None:
             _x_conv(out, s, f"{name}.skip_conv.{i}")
     if mod.linear is not None:
@@ -464,7 +467,7 @@ def _x_flow(out, mod, name):
             _x_dense(out, layer.linear2, f"{p}.linear2")
             _x_norm(out, layer.norm, f"{p}.norm")
             if layer.film is not None:
-                _x_film(out, layer.film, f"{p}.film", time_first=False)
+                _x_film(out, layer.film, f"{p}.film", time_first=True)
         elif isinstance(layer, ConvCoupling):
             _x_conv(out, layer.conv1, f"{p}.conv1")
             _x_conv(out, layer.conv2, f"{p}.conv2")
