@@ -335,3 +335,82 @@ def test_likelihood_estimator_e2e(corpus, vocoder_dir,
     ev = ReconstructionEvaluator(rhp)
     out = ev.run(max_batches=1)
     assert "mcd" in out and np.isfinite(out["mcd"])
+
+
+def test_metric_aggregation_across_microbatches(corpus, vocoder_dir,
+                                                tmp_path_factory):
+    """run_step metrics must aggregate over the grad-accum axis like
+    the reference's full-batch logging (sum for token-sums, length-
+    weighted mean otherwise) — not report the last micro-batch only
+    (VERDICT r1 item 8).  Uses a deterministic stand-in loss so
+    accum=2 on [A, B] is comparable to accum=1 on [A;B]."""
+    import jax
+    import jax.numpy as jnp
+
+    log_dir = tmp_path_factory.mktemp("exp_agg")
+    cfg = TRAIN_HP.format(log_dir=log_dir, vocoder_dir=vocoder_dir,
+                          corpus=corpus)
+    hp = Hparams.from_yaml(cfg)
+    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
+    trainer = LVTRTrainer(hp)
+
+    def fake_loss_fn(params, rest, batch, kld_weight, key):
+        mel = batch["mel"]
+        msum = (mel.value * mel.mask()[..., None]).sum()
+        n = mel.lengths.sum()
+        loss = jax.tree_util.tree_leaves(params)[0].sum() * 1e-6
+        return loss, {"kld": msum, "rec_loss": 2.0 * msum,
+                      "length": n, "log_p": msum / n,
+                      "log_q": msum / n + 1.0,
+                      "logstd": -msum / n,
+                      "q_logstd": msum / n * 0.5,
+                      "q_mean_abs": (msum + 5.0 * n) / n,
+                      "token_kld": 3.0 * msum}
+    trainer._loss_fn = fake_loss_fn
+
+    rng = np.random.RandomState(0)
+    n_mels = 20
+
+    def micro(b, t, lengths, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "mel": Masked.from_lengths(
+                np.asarray(r.randn(b, t, n_mels), np.float32),
+                np.asarray(lengths)),
+        }
+
+    A = micro(2, 10, [10, 7], 1)
+    B = micro(2, 10, [4, 9], 2)
+    import jax.tree_util as jtu
+    stacked2 = jtu.tree_map(lambda a, b: jnp.stack([a, b]), A, B)
+    combined = jtu.tree_map(
+        lambda a, b: jnp.concatenate([a, b])[None], A, B)
+
+    trainer.rng = jax.random.PRNGKey(0)
+    m2 = {k: float(v) for k, v in trainer.run_step(stacked2).items()}
+    trainer.rng = jax.random.PRNGKey(0)
+    trainer.global_step = 0
+    m1 = {k: float(v) for k, v in trainer.run_step(combined).items()}
+
+    def msum_of(mb):
+        mel = mb["mel"]
+        return float((np.asarray(mel.value)
+                      * np.asarray(mel.mask())[..., None]).sum())
+
+    sA, sB = msum_of(A), msum_of(B)
+    nA, nB = 17, 13
+    # sums normalized by the TOTAL token count
+    assert np.isclose(m2["kld"], (sA + sB) / (nA + nB), rtol=1e-4)
+    assert np.isclose(m2["rec_loss"], 2 * (sA + sB) / (nA + nB),
+                      rtol=1e-4)
+    assert np.isclose(m2["token_kld"], 3 * (sA + sB) / (nA + nB),
+                      rtol=1e-4)
+    # length-weighted means over the accum axis
+    expect_logp = (sA / nA * nA + sB / nB * nB) / (nA + nB)
+    assert np.isclose(m2["log_p"], expect_logp, rtol=1e-4)
+    # the old bug: last micro-batch only
+    assert not np.isclose(m2["log_p"], sB / nB, rtol=1e-4)
+    # accum=2 split == accum=1 combined on identical data
+    for k in ("kld", "rec_loss", "token_kld", "log_p", "log_q",
+              "logstd", "q_logstd", "q_mean_abs"):
+        assert np.isclose(m2[k], m1[k], rtol=1e-4), (k, m2[k], m1[k])

@@ -211,8 +211,17 @@ class LVTRTrainer(BaseTrainer):
             keys = jax.random.split(key, accum)
             grads, metrics_all = jax.lax.scan(
                 body, zero_grads, (batch_stack, keys))
-            metrics = jax.tree_util.tree_map(lambda m: m[-1],
-                                             metrics_all)
+            # Aggregate over the accumulation axis like the reference's
+            # full-batch logging (trainers/speech/lvtr.py:119-145):
+            # token-sum metrics add up; per-token/elementwise means are
+            # weighted by each micro-batch's valid-token count.
+            n_mb = metrics_all["length"]
+            sum_keys = {"kld", "rec_loss", "token_kld", "length"}
+            metrics = {
+                k: (v.sum(0) if k in sum_keys
+                    else (v * n_mb).sum(0) / n_mb.sum())
+                for k, v in metrics_all.items()
+            }
             if self.grad_mask is not None:
                 grads = jax.tree_util.tree_map(
                     lambda g, m: g * m, grads, self.grad_mask)
