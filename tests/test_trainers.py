@@ -571,3 +571,113 @@ data:
     wave, sr = audio_lib.load_audio(wavs[0])
     assert sr == 16000 and len(wave) > 0
     assert np.isfinite(wave).all()
+
+
+SOUNDSTREAM_CONV = """
+    num_layers: 1
+    resample_rates: [1]
+    resample_ksize: [1]
+    init_channel: 16
+    out_channels: [16]
+    hidden_channels: [32]
+    layer:
+        kernel_size: 3
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+"""
+
+
+def _ss_indent(block):
+    return "\n".join("    " + ln for ln in block.strip("\n").splitlines())
+
+
+def test_soundstream_trainer_learns(corpus, vocoder_dir,
+                                    tmp_path_factory):
+    """Behavioral coverage for the SoundStream trainer (VERDICT r1
+    item 9): a short fit on real synthetic mels must reduce the
+    reconstruction loss and actually use multiple VQ codes."""
+    import jax
+
+    hp = Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.speech.soundstream.SoundStreamTrainer"
+    total_steps: 40
+    limit_val_batches: 1
+    distributed: false
+logging: {{log_dir: "unused", num_samples: 0}}
+vocoder: {{path: "{vocoder_dir}"}}
+model:
+    encoder:
+{_ss_indent(SOUNDSTREAM_CONV)}
+    decoder:
+{_ss_indent(SOUNDSTREAM_CONV)}
+    quantizer:
+        identifier: SimpleVectorQuantizer
+        dim: 16
+        codebook_size: 8
+training:
+    gradient_accumulation: 1
+    optimizer:
+        identifier: Adam
+        lr: 5.0e-3
+        beta1: 0.9
+        beta2: 0.98
+    scheduler: {{identifier: constant, flat_steps: 1}}
+data:
+    train:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: false
+        num_workers: 2
+        batch_size: 2
+        segment_size: 0.4
+        post_pad: {{mel: {{length: 0.4}}}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: false
+        num_workers: 2
+        batch_size: 2
+        segment_size: 0.4
+        post_pad: {{mel: {{length: 0.4}}}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+    from vae_gslm_tpu.trainers.speech.soundstream import (
+        SoundStreamTrainer)
+    trainer = SoundStreamTrainer(hp)
+
+    loader = trainer.train_dataloader()
+    first_batch = None
+    losses = []
+    steps = 0
+    while steps < 40:
+        for batch in loader:
+            stacked = jax.tree_util.tree_map(lambda v: v[None], batch)
+            if first_batch is None:
+                first_batch = batch
+            m = trainer.run_step(stacked)
+            trainer.global_step += 1
+            losses.append(float(m["rec_loss"]))
+            steps += 1
+            if steps >= 40:
+                break
+
+    assert np.isfinite(losses).all()
+    early = np.mean(losses[:5])
+    late = np.mean(losses[-5:])
+    assert late < 0.7 * early, (early, late)
+
+    # VQ bottleneck actually quantizes: several distinct codes in use.
+    trainer.sync_model()
+    out = trainer.model.quantizer(
+        trainer.model.encoder(first_batch["mel"]))
+    used = np.unique(np.asarray(out.indices.value))
+    assert len(used) >= 2, used
+    # and the reconstruction path runs from the quantized codes
+    rec = trainer.model(first_batch["mel"])["reconstruction"]
+    assert rec.value.shape == first_batch["mel"].value.shape

@@ -61,6 +61,26 @@ def energy_vad_segments(wave: np.ndarray, sr: int,
     return merged
 
 
+def build_pyannote_vad(auth_token: str):
+    """Construct the pyannote VAD pipeline
+    (``/root/reference/inference/speech/inferer.py:68-79``).
+
+    Returns None when pyannote isn't installed so callers can fall
+    back to :func:`energy_vad_segments`.  Factored out of __init__ so
+    the pyannote branch is unit-testable against a stub package."""
+    try:
+        from pyannote.audio import Model
+        from pyannote.audio.pipelines import VoiceActivityDetection
+    except ImportError:
+        return None
+    model = Model.from_pretrained("pyannote/segmentation-3.0",
+                                  use_auth_token=auth_token)
+    pipeline = VoiceActivityDetection(segmentation=model)
+    pipeline.instantiate(
+        {"min_duration_on": 0.0, "min_duration_off": 0.0})
+    return pipeline
+
+
 def vad_trim(wave: np.ndarray, sr: int, segments) -> np.ndarray:
     """Trailing-segment trim rule (``speech/inferer.py:176-190``)."""
     if len(segments) < 1:
@@ -120,18 +140,8 @@ class SpeechInferer(BaseInferer):
         self.vad_pipeline = None
         self.use_vad = hp.has("vad")
         if self.use_vad and hp.vad.get("auth_token", None) is not None:
-            try:
-                from pyannote.audio import Model
-                from pyannote.audio.pipelines import \
-                    VoiceActivityDetection
-                model = Model.from_pretrained(
-                    "pyannote/segmentation-3.0",
-                    use_auth_token=hp.vad.auth_token)
-                self.vad_pipeline = VoiceActivityDetection(
-                    segmentation=model)
-                self.vad_pipeline.instantiate(
-                    {"min_duration_on": 0.0, "min_duration_off": 0.0})
-            except ImportError:
+            self.vad_pipeline = build_pyannote_vad(hp.vad.auth_token)
+            if self.vad_pipeline is None:
                 log.warning("pyannote unavailable; using energy VAD")
         self.sampled = 0
 
