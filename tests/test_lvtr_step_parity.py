@@ -167,3 +167,47 @@ def test_weight_int8_step_close_and_sampler_runs():
     assert err < 0.05, err
     out = sampler(4, mel, jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out["output"].value)).all()
+
+
+def test_sampler_fused_path_matches_per_layer():
+    """ARTRSampler with the fused layer-scan decode must reproduce the
+    per-layer decode path sample-for-sample (same PRNG contract)."""
+    from tests.test_models import TINY_LVTR, N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    m = LVTR(TINY_LVTR, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    assert m.transformer.supports_stacked_decode()
+    rng = np.random.RandomState(0)
+    b, tp = 2, 6
+    toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
+    mel = rng.randn(b, tp, N_MELS).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(5)
+
+    s_fused = ARTRSampler(m, kv_dtype=jnp.int8)
+    out_fused = s_fused(8, prior, key, temperature=0.8,
+                        token_temperature=0.8)
+
+    s_plain = ARTRSampler(m, kv_dtype=jnp.int8)
+    import vae_gslm_tpu.nn.transformer as tr
+    orig = tr.TransformerLayerStack.supports_stacked_decode
+    tr.TransformerLayerStack.supports_stacked_decode = lambda self: False
+    try:
+        out_plain = s_plain(8, prior, key, temperature=0.8,
+                            token_temperature=0.8)
+    finally:
+        tr.TransformerLayerStack.supports_stacked_decode = orig
+
+    # int8 KV: the fused step's current-token term skips the int8
+    # round-trip, so latents carry ~1e-3 quantization-scale jitter.
+    np.testing.assert_allclose(
+        np.asarray(out_fused["frames"].value),
+        np.asarray(out_plain["frames"].value), rtol=1e-2, atol=5e-3)
+    np.testing.assert_array_equal(
+        np.asarray(out_fused["frames"].value[..., 0]),
+        np.asarray(out_plain["frames"].value[..., 0]))  # same tokens
+    np.testing.assert_allclose(
+        np.asarray(out_fused["output"].value),
+        np.asarray(out_plain["output"].value), rtol=1e-3, atol=1e-3)

@@ -254,17 +254,21 @@ class LVTR(nnx.Module):
 
     # ------------------------------------------------------------------
     def init_cache(self, batch: int, max_len: int,
-                   dtype=None) -> List[LayerKVCache]:
+                   dtype=None, stacked: bool = False):
+        if stacked:
+            return self.transformer.init_stacked_cache(batch, max_len,
+                                                       dtype)
         return self.transformer.init_cache(batch, max_len, dtype)
 
-    def step(self, xv: Array, caches: List[LayerKVCache], pos: Array,
+    def step(self, xv: Array, caches, pos: Array,
              key: Array, temperature: float = 1.0,
              token_temperature: float = 1.0,
              truncated_norm: Optional[Tuple[float, float]] = None,
              push_init_state: bool = False,
              init_key: Optional[Array] = None,
              window: Optional[int] = None,
-             return_attn: bool = False):
+             return_attn: bool = False,
+             stacked=None):
         """One AR step over the static KV cache (``lvtr.py:227-286``).
 
         xv: (B, S, 1+latent) raw [token, latent] frames (or (B, S,
@@ -292,8 +296,16 @@ class LVTR(nnx.Module):
             init = self.initial_state(init_key, b)
             fused = jnp.concatenate(
                 [init.astype(fused.dtype), fused], axis=1)
-        res = self.transformer.decode(fused, caches, pos, window=window,
-                                      return_attn=return_attn)
+        if stacked is not None:
+            # Fused layer-scan decode (stacked weights + stacked cache;
+            # ~4x fewer per-op fixed costs at small serving batches).
+            res = self.transformer.decode_stacked(
+                fused, stacked, caches, pos, window=window,
+                return_attn=return_attn)
+        else:
+            res = self.transformer.decode(fused, caches, pos,
+                                          window=window,
+                                          return_attn=return_attn)
         if return_attn:
             h, caches, attn = res
         else:

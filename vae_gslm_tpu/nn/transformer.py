@@ -12,6 +12,7 @@ TPU-first: ``decode`` runs one AR step over a preallocated list of
 """
 from __future__ import annotations
 
+import math
 from typing import Any, List, Mapping, Optional, Tuple
 
 import jax
@@ -19,9 +20,11 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..core.masked import Masked
+from ..core.precision import get_policy
 from ..hparams.hp import Hparams
 from .activations import get_activation
-from .attention import CrossAttention, LayerKVCache, SelfAttention
+from .attention import (NEG_INF, CrossAttention, LayerKVCache,
+                        SelfAttention)
 from .linear import Dense
 from .norms import get_norm
 from .positions import get_positional_encoding
@@ -292,6 +295,344 @@ class TransformerLayerStack(nnx.Module):
                        for k in attns[0]}
             return xv, new_caches, stacked
         return xv, new_caches
+
+    # -- fused (scan-over-layers) decode ------------------------------
+    #
+    # The per-layer Python loop in ``decode`` emits ~10 small HLO ops
+    # per layer per AR step; at serving batch 8 the fixed per-op costs
+    # dominate (~2.5 ms/step measured vs a ~0.65 ms weight-streaming
+    # floor, tools/bench_decode.py).  The fused path stacks the
+    # per-layer weights on a leading L axis once per sampling call and
+    # runs the 16 layers as a single ``lax.scan`` whose carry holds the
+    # residual stream and the stacked KV cache — one compiled body,
+    # weights streamed back-to-back at full HBM rate.
+
+    def supports_stacked_decode(self) -> bool:
+        from .norms import RMSNorm
+
+        if self.rpe_id not in (None, "ALiBi"):
+            return False
+        for layer in self.layers:
+            if not layer.preln or layer.cross_attn is not None:
+                return False
+            if not isinstance(layer.norm1, RMSNorm):
+                return False
+            if not isinstance(layer.norm3, RMSNorm):
+                return False
+        return True
+
+    def build_stacked_decode(self):
+        """Stack per-layer decode weights (L leading axis); returns
+        None when this stack's config can't use the fused path.  Call
+        once per jitted sampling program, outside the AR scan."""
+        if not self.supports_stacked_decode():
+            return None
+        dt = get_policy().compute_dtype
+
+        def dense(getter):
+            mods = [getter(layer) for layer in self.layers]
+            w = jnp.stack([m.kernel[...] for m in mods])
+            entry = {}
+            if w.dtype == jnp.int8:
+                entry["w"] = w
+                entry["scale"] = jnp.stack(
+                    [m.kernel_scale[...] for m in mods]).astype(dt)
+            else:
+                entry["w"] = w.astype(dt)
+            if mods[0].bias is not None:
+                entry["b"] = jnp.stack(
+                    [m.bias[...] for m in mods]).astype(dt)
+            return entry
+
+        return {
+            "n1": jnp.stack([la.norm1.scale[...]
+                             for la in self.layers]),
+            "n3": jnp.stack([la.norm3.scale[...]
+                             for la in self.layers]),
+            "qkv": dense(lambda la: la.self_attn.in_proj),
+            "out": dense(lambda la: la.self_attn.out_proj),
+            "ffn1": dense(lambda la: la.linear1),
+            "ffn2": dense(lambda la: la.linear2),
+        }
+
+    def init_stacked_cache(self, batch: int, max_len: int,
+                           dtype=None) -> LayerKVCache:
+        """One KV cache for the whole stack: ``(L, B, H, maxT, D)``."""
+        la = self.layers[0].self_attn
+        nl = len(self.layers)
+        shape = (nl, batch, la.nheads, max_len, la.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1]
+            return LayerKVCache(jnp.zeros(shape, jnp.int8),
+                                jnp.zeros(shape, jnp.int8),
+                                jnp.zeros(sshape, jnp.float32),
+                                jnp.zeros(sshape, jnp.float32))
+        if dtype is None:
+            dtype = jnp.float32
+        return LayerKVCache(jnp.zeros(shape, dtype),
+                            jnp.zeros(shape, dtype))
+
+    def decode_stacked(self, xv: Array, stacked, cache: LayerKVCache,
+                       pos: Array, window: Optional[int] = None,
+                       return_attn: bool = False):
+        """One AR step through all layers as a single layer-scan.
+
+        xv: (B, S, C) raw frames at absolute positions [pos, pos+S);
+        cache: stacked cache from ``init_stacked_cache``.  Matches
+        ``decode`` (same per-layer math, RMS fp32, ALiBi, int8 cache)
+        — parity asserted in tests/test_attention.py."""
+        if self.linear is not None:
+            xv = self.linear(xv)
+        if self.first_norm is not None:
+            xv = self.first_norm(xv)
+
+        la0 = self.layers[0]
+        nheads = la0.self_attn.nheads
+        eps1 = la0.norm1.eps
+        act = la0.activation
+        slopes = (self.rpe.slopes[...] if self.rpe_id == "ALiBi"
+                  else None)
+        b, s, d = xv.shape
+        max_len = cache.k.shape[-2]   # stacked cache is (L,B,H,T,D)
+        quantized = cache.quantized
+        win = min(window, max_len) if window is not None else max_len
+
+        # Prefill (S > 1) constants, shared across layers.
+        if s > 1:
+            k_pos = jnp.arange(win)
+            q_pos = pos + jnp.arange(s)
+            mask = (k_pos[None, :] <= q_pos[:, None])[None, None]
+            mask = jnp.broadcast_to(mask, (b, 1, s, win))
+            bias = (self.rpe.bias(q_pos, k_pos)
+                    if slopes is not None else None)
+
+        def rms(x, scale):
+            xf = x.astype(jnp.float32)
+            ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            y = xf * jax.lax.rsqrt(ms + eps1) * scale
+            return y.astype(x.dtype)
+
+        def matmul(x, entry):
+            w = entry["w"]
+            if w.dtype == jnp.int8:
+                w = w.astype(x.dtype) * entry["scale"]
+            y = x @ w
+            if "b" in entry:
+                y = y + entry["b"]
+            return y
+
+        if s == 1:
+            x, new_cache, attns = self._decode_stacked_step(
+                xv, stacked, cache, pos, win, slopes, nheads, rms,
+                matmul, act, return_attn)
+        else:
+            x, new_cache, attns = self._decode_stacked_prefill(
+                xv, stacked, cache, pos, win, mask, bias, nheads,
+                rms, matmul, act, return_attn)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        if self.out is not None:
+            x = self.out(x)
+        if return_attn:
+            if attns.shape[-1] < max_len:
+                attns = jnp.pad(
+                    attns,
+                    ((0, 0),) * (attns.ndim - 1)
+                    + ((0, max_len - attns.shape[-1]),))
+            return x, new_cache, {"self_attn": attns}
+        return x, new_cache
+
+    def _decode_stacked_step(self, xv, stacked, cache, pos, win,
+                             slopes, nheads, rms, matmul, act,
+                             return_attn):
+        """Single-token fused step.
+
+        The inner layer-scan only READS the stacked cache (as scan
+        xs); the current token's key/value enter the softmax through
+        an explicit extra logit, and all 16 layers' new rows are
+        written to the cache in ONE deferred ``dynamic_update_slice``
+        after the scan.  Interleaving per-layer writes and reads on
+        the single stacked buffer defeats XLA's in-place buffer
+        analysis and costs a full cache copy per layer (measured 3x:
+        2.98 ms -> 1.0 ms per step at B=8, tools/bench_decode.py)."""
+        from .attention import _quantize_i8, _split_heads
+
+        b, _, d = xv.shape
+        quantized = cache.quantized
+        head_dim = d // nheads
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2)
+        old_mask = k_pos < pos          # strict: row `pos` is stale
+        dist = jnp.abs(k_pos - pos).astype(jnp.float32)
+        alibi = (slopes.astype(jnp.float32)[None, :, None] * dist
+                 if slopes is not None else None)
+        scale = 1.0 / math.sqrt(head_dim)
+
+        def body(x, xs):
+            if quantized:
+                w_l, k_l, v_l, ks_l, vs_l = xs
+                k_l = k_l[:, :, :win]
+                v_l = v_l[:, :, :win]
+                ks_l = ks_l[:, :, :win]
+                vs_l = vs_l[:, :, :win]
+            else:
+                w_l, k_l, v_l = xs
+                k_l = k_l[:, :, :win]
+                v_l = v_l[:, :, :win]
+            h = rms(x, w_l["n1"])
+            qkv = matmul(h, w_l["qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            kh = jnp.swapaxes(_split_heads(k, nheads), 1, 2)  # B,H,1,D
+            vh = jnp.swapaxes(_split_heads(v, nheads), 1, 2)
+            qh = _split_heads(q, nheads)[:, 0]                # B,H,D
+            if quantized:
+                q_amax = jnp.max(jnp.abs(qh), axis=-1, keepdims=True)
+                q_scale = (q_amax / 127.0).astype(jnp.float32)
+                qi = jnp.round(
+                    qh / jnp.maximum(q_scale, 1e-8)).astype(jnp.int8)
+                logits = jnp.einsum("bhd,bhtd->bht", qi, k_l,
+                                    preferred_element_type=jnp.int32)
+                logits = (logits.astype(jnp.float32)
+                          * (q_scale * ks_l.astype(jnp.float32)
+                             * scale))
+            else:
+                logits = jnp.einsum(
+                    "bhd,bhtd->bht", qh, k_l,
+                    preferred_element_type=jnp.float32) * scale
+            if alibi is not None:
+                logits = logits + alibi
+            logits = jnp.where(old_mask, logits, NEG_INF)
+            # current token: |distance| = 0 -> no ALiBi term
+            l_self = (jnp.sum(qh.astype(jnp.float32)
+                              * kh[:, :, 0].astype(jnp.float32),
+                              axis=-1, keepdims=True) * scale)
+            logits = jnp.concatenate([logits, l_self], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            if quantized:
+                wv = (w[..., :-1]
+                      * vs_l.astype(jnp.float32)).astype(jnp.bfloat16)
+                out = jnp.einsum("bht,bhtd->bhd", wv,
+                                 v_l.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+            else:
+                out = jnp.einsum("bht,bhtd->bhd",
+                                 w[..., :-1].astype(v_l.dtype), v_l,
+                                 preferred_element_type=jnp.float32)
+            out = out + (w[..., -1:].astype(jnp.float32)
+                         * vh[:, :, 0].astype(jnp.float32))
+            out = out.astype(x.dtype).reshape(b, 1, d)
+            x = x + matmul(out, w_l["out"])
+            h2 = rms(x, w_l["n3"])
+            x = x + matmul(act(matmul(h2, w_l["ffn1"])), w_l["ffn2"])
+            ys = (kh, vh, w if return_attn else None)
+            return x, ys
+
+        xs = ((stacked, cache.k, cache.v, cache.k_scale, cache.v_scale)
+              if quantized else (stacked, cache.k, cache.v))
+        x, (k_new, v_new, w_attn) = jax.lax.scan(body, xv, xs)
+        # One deferred write of all layers' new rows (L, B, H, 1, D).
+        if quantized:
+            kq, ksc = _quantize_i8(k_new)
+            vq, vsc = _quantize_i8(v_new)
+            new_cache = LayerKVCache(
+                jax.lax.dynamic_update_slice(cache.k, kq,
+                                             (0, 0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(cache.v, vq,
+                                             (0, 0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc,
+                                             (0, 0, 0, pos)),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc,
+                                             (0, 0, 0, pos)))
+        else:
+            new_cache = LayerKVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, k_new.astype(cache.k.dtype),
+                    (0, 0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, v_new.astype(cache.v.dtype),
+                    (0, 0, 0, pos, 0)))
+        attns = None
+        if return_attn:
+            # (L,B,H,win+1) -> place the self weight at column `pos`
+            # of a (L,B,H,1,win) row like the carry-write path.
+            w_old = w_attn[..., :-1]
+            w_self = w_attn[..., -1:]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, w_old.shape, w_old.ndim - 1)
+            attns = jnp.where(col == pos, w_self, w_old)[:, :, :, None]
+        return x, new_cache, attns
+
+    def _decode_stacked_prefill(self, xv, stacked, cache, pos, win,
+                                mask, bias, nheads, rms, matmul, act,
+                                return_attn):
+        """Prefill (S > 1): carry-write layer scan.  Runs once per
+        sampling call, so the in-place-defeating write/read interleave
+        is acceptable here."""
+        from .attention import (_merge_heads, _quantize_i8,
+                                _split_heads, attend)
+
+        b, s, d = xv.shape
+        quantized = cache.quantized
+
+        def body(carry, w_l):
+            x, ck, cv, ks, vs, li = carry
+            h = rms(x, w_l["n1"])
+            qkv = matmul(h, w_l["qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            kh = jnp.swapaxes(_split_heads(k, nheads), 1, 2)
+            vh = jnp.swapaxes(_split_heads(v, nheads), 1, 2)
+            if quantized:
+                kq, ksc = _quantize_i8(kh)
+                vq, vsc = _quantize_i8(vh)
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[None], (li, 0, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[None], (li, 0, 0, pos, 0))
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ksc[None], (li, 0, 0, pos))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vsc[None], (li, 0, 0, pos))
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kh[None].astype(ck.dtype), (li, 0, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vh[None].astype(cv.dtype), (li, 0, 0, pos, 0))
+            k_l = jax.lax.dynamic_index_in_dim(
+                ck, li, 0, keepdims=False)[:, :, :win]
+            v_l = jax.lax.dynamic_index_in_dim(
+                cv, li, 0, keepdims=False)[:, :, :win]
+            if quantized:
+                ks_l = jax.lax.dynamic_index_in_dim(
+                    ks, li, 0, keepdims=False)[:, :, :win]
+                vs_l = jax.lax.dynamic_index_in_dim(
+                    vs, li, 0, keepdims=False)[:, :, :win]
+                # bf16 like LayerKVCache.dense_kv so the fused prefill
+                # bit-matches the per-layer path
+                kd = (k_l.astype(jnp.float32)
+                      * ks_l[..., None]).astype(jnp.bfloat16)
+                vd = (v_l.astype(jnp.float32)
+                      * vs_l[..., None]).astype(jnp.bfloat16)
+            else:
+                kd, vd = k_l, v_l
+            qh = _split_heads(q, nheads)
+            out, w_attn = attend(
+                qh, jnp.swapaxes(kd, 1, 2), jnp.swapaxes(vd, 1, 2),
+                bias, mask, return_attn=return_attn)
+            out = _merge_heads(out)
+            x = x + matmul(out, w_l["out"])
+            h2 = rms(x, w_l["n3"])
+            x = x + matmul(act(matmul(h2, w_l["ffn1"])), w_l["ffn2"])
+            ys = w_attn if return_attn else None
+            return (x, ck, cv, ks, vs, li + 1), ys
+
+        ks0 = cache.k_scale if quantized else jnp.zeros((), jnp.float32)
+        vs0 = cache.v_scale if quantized else jnp.zeros((), jnp.float32)
+        carry = (xv, cache.k, cache.v, ks0, vs0, jnp.asarray(0))
+        carry, attns = jax.lax.scan(body, carry, stacked)
+        x, ck, cv, ks, vs, _ = carry
+        new_cache = LayerKVCache(ck, cv,
+                                 ks if quantized else None,
+                                 vs if quantized else None)
+        return x, new_cache, attns
 
     def set_uniform(self, std: float, *, key: jax.Array) -> None:
         if self.rpe_id == "T5RPE":
