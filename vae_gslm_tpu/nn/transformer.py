@@ -355,6 +355,80 @@ class TransformerLayerStack(nnx.Module):
             "ffn2": dense(lambda la: la.linear2),
         }
 
+    def build_mega_decode(self):
+        """Chunked int8 weight arrays for the single-call trunk-step
+        kernel (``ops/mega_step.fused_trunk_step``).  Returns None
+        unless the config fits the kernel: int8-quantized projections
+        (``quantize_weights_int8``), no biases, RMSNorm(eps 1e-6),
+        ALiBi, pre-LN, GELU, ffd == 4*dim, dim % 256 == 0."""
+        if not self.supports_stacked_decode():
+            return None
+        d = self.dim
+        la0 = self.layers[0]
+        if la0.linear1.kernel[...].dtype != jnp.int8:
+            return None
+        if self.rpe_id != "ALiBi" or d % 256:
+            return None
+        for la in self.layers:
+            mods = (la.self_attn.in_proj, la.self_attn.out_proj,
+                    la.linear1, la.linear2)
+            if any(m.kernel[...].dtype != jnp.int8 for m in mods):
+                return None
+            if la.linear1.out_dim != 4 * d or la.norm1.eps != 1e-6:
+                return None
+            if la.activation is not get_activation(
+                    Hparams(identifier="GELU")):
+                return None
+
+        def chunk_cols(getter, n):
+            return jnp.stack([
+                jnp.stack([getter(la)[:, i * d:(i + 1) * d]
+                           for i in range(n)])
+                for la in self.layers])
+
+        def chunk_rows(getter, n):
+            return jnp.stack([
+                jnp.stack([getter(la)[i * d:(i + 1) * d, :]
+                           for i in range(n)])
+                for la in self.layers])
+
+        def scales(getter):
+            return jnp.stack([getter(la).reshape(-1)
+                              for la in self.layers]).astype(
+                                  jnp.float32)
+
+        def biases(getter, n):
+            return jnp.stack([
+                (getter(la).bias[...].astype(jnp.float32)
+                 if getter(la).bias is not None
+                 else jnp.zeros((n,), jnp.float32))
+                for la in self.layers])
+
+        return {
+            "wq": chunk_cols(
+                lambda la: la.self_attn.in_proj.kernel[...], 3),
+            "wo": jnp.stack([la.self_attn.out_proj.kernel[...]
+                             for la in self.layers]),
+            "w1": chunk_cols(lambda la: la.linear1.kernel[...], 4),
+            "w2": chunk_rows(lambda la: la.linear2.kernel[...], 4),
+            "sq": scales(
+                lambda la: la.self_attn.in_proj.kernel_scale[...]),
+            "so": scales(
+                lambda la: la.self_attn.out_proj.kernel_scale[...]),
+            "s1": scales(lambda la: la.linear1.kernel_scale[...]),
+            "s2": scales(lambda la: la.linear2.kernel_scale[...]),
+            "n1": jnp.stack([la.norm1.scale[...]
+                             for la in self.layers]).astype(
+                                 jnp.float32),
+            "n3": jnp.stack([la.norm3.scale[...]
+                             for la in self.layers]).astype(
+                                 jnp.float32),
+            "bq": biases(lambda la: la.self_attn.in_proj, 3 * d),
+            "bo": biases(lambda la: la.self_attn.out_proj, d),
+            "b1": biases(lambda la: la.linear1, 4 * d),
+            "b2": biases(lambda la: la.linear2, d),
+        }
+
     def init_stacked_cache(self, batch: int, max_len: int,
                            dtype=None) -> LayerKVCache:
         """One KV cache for the whole stack: ``(L, B, H, maxT, D)``."""
