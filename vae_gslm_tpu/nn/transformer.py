@@ -380,18 +380,6 @@ class TransformerLayerStack(nnx.Module):
                     Hparams(identifier="GELU")):
                 return None
 
-        def chunk_cols(getter, n):
-            return jnp.stack([
-                jnp.stack([getter(la)[:, i * d:(i + 1) * d]
-                           for i in range(n)])
-                for la in self.layers])
-
-        def chunk_rows(getter, n):
-            return jnp.stack([
-                jnp.stack([getter(la)[i * d:(i + 1) * d, :]
-                           for i in range(n)])
-                for la in self.layers])
-
         def scales(getter):
             return jnp.stack([getter(la).reshape(-1)
                               for la in self.layers]).astype(
@@ -404,13 +392,14 @@ class TransformerLayerStack(nnx.Module):
                  else jnp.zeros((n,), jnp.float32))
                 for la in self.layers])
 
+        def stack(getter):
+            return jnp.stack([getter(la) for la in self.layers])
+
         return {
-            "wq": chunk_cols(
-                lambda la: la.self_attn.in_proj.kernel[...], 3),
-            "wo": jnp.stack([la.self_attn.out_proj.kernel[...]
-                             for la in self.layers]),
-            "w1": chunk_cols(lambda la: la.linear1.kernel[...], 4),
-            "w2": chunk_rows(lambda la: la.linear2.kernel[...], 4),
+            "wq": stack(lambda la: la.self_attn.in_proj.kernel[...]),
+            "wo": stack(lambda la: la.self_attn.out_proj.kernel[...]),
+            "w1": stack(lambda la: la.linear1.kernel[...]),
+            "w2": stack(lambda la: la.linear2.kernel[...]),
             "sq": scales(
                 lambda la: la.self_attn.in_proj.kernel_scale[...]),
             "so": scales(

@@ -8,17 +8,19 @@ fixed cost against a ~0.45 ms data floor (int8 weights ~200 MB +
 int8 KV prefix ~140 MB).  One kernel per step pays the fixed cost
 once and streams everything back-to-back:
 
-  grid = (num_layers, 12): 12 phases per layer —
-    p 0-2   qkv column chunks   (h1 = RMS(x);  qkv[:, pD:(p+1)D])
-    p 3     attention           (cold cache DMA loop + tail + self)
-                                + out-projection, residual
-    p 4-7   FFN-up chunks       (h2 = RMS(x);  g[, cD:..] = GELU(..))
-    p 8-11  FFN-down chunks     (x += (g_c @ W2_c) * s2)
+  grid = (num_layers, 4): 4 phases per layer —
+    p 0   qkv        (h1 = RMS(x); qkv = h1 @ Wqkv)
+    p 1   attention  (cold cache DMA loop + tail + self)
+                     + out-projection, residual
+    p 2   FFN up     (h2 = RMS(x); g = GELU(h2 @ W1))
+    p 3   FFN down   (x += g @ W2)
 
-  Weights are int8 (per-out-column scales) restructured into
-  (L, C, D, D) chunk arrays whose BlockSpecs stream one 1 MB chunk per
-  grid step, double-buffered by the Pallas pipeline.  The residual
-  stream x (B, D) lives in VMEM scratch across all grid steps.
+  Weights are int8 (per-out-column scales) stacked per layer; each
+  phase's BlockSpec streams one whole matrix (3-4 MB int8),
+  double-buffered by the Pallas pipeline.  The residual stream
+  x (B, D) lives in VMEM scratch across all grid steps.  (A 12-phase
+  1 MB-chunk variant measured ~230 us/step slower: per-grid-step
+  overhead dominates at B=8.)
 
 KV cache is the hybrid cold/tail layout of ``ops/fused_decode.py``:
 time-minor int8 cold prefix (manual double-buffered DMA over a STATIC
@@ -61,7 +63,7 @@ def _gelu_exact(x):
 BLK = 256
 TAIL = 128
 NEG_INF = -1e30
-NPHASE = 12
+NPHASE = 4
 
 
 def _kernel(scalars_ref,
@@ -93,9 +95,9 @@ def _kernel(scalars_ref,
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         return x * jax.lax.rsqrt(ms + 1e-6) * nscale
 
-    def mm(xin, w_ref, scales):
-        """bf16 matmul with an int8 (D, D) weight chunk + col scales."""
-        w = w_ref[...].reshape(d, d).astype(jnp.bfloat16)
+    def mm(xin, w_ref, scales, din, dout):
+        """bf16 matmul with an int8 weight block + col scales."""
+        w = w_ref[...].reshape(din, dout).astype(jnp.bfloat16)
         y = jnp.dot(xin.astype(jnp.bfloat16), w,
                     preferred_element_type=jnp.float32)
         return y * scales
@@ -107,17 +109,12 @@ def _kernel(scalars_ref,
 
     @pl.when(p == 0)
     def _():
-        h_s[...] = rms(x_s[...], n1_ref[li])
+        h1 = rms(x_s[...], n1_ref[li])
+        qkv_s[...] = (mm(h1, wq_ref, sq_ref[li], d, 3 * d)
+                      + bq_ref[li])
 
-    for c in range(3):
-        @pl.when(p == c)
-        def _(c=c):
-            qkv_s[:, c * d:(c + 1) * d] = (
-                mm(h_s[...], wq_ref, sq_ref[li, c * d:(c + 1) * d])
-                + bq_ref[li, c * d:(c + 1) * d])
-
-    # ------------------------------------------------ p 3: attention
-    @pl.when(p == 3)
+    # ------------------------------------------------ p 1: attention
+    @pl.when(p == 1)
     def _():
         def heads(off):
             """(B, D) lane range -> (GH, 1, Dh), h-major rows
@@ -247,27 +244,18 @@ def _kernel(scalars_ref,
                             preferred_element_type=jnp.float32)
         x_s[...] = x_s[...] + y * so_ref[li] + bo_ref[li]
 
-    # ------------------------------------------------ p 4..7: FFN up
-    @pl.when(p == 4)
+    # --------------------------------------------------- p 2: FFN up
+    @pl.when(p == 2)
     def _():
-        h_s[...] = rms(x_s[...], n3_ref[li])
+        h2 = rms(x_s[...], n3_ref[li])
+        g_s[...] = _gelu_exact(mm(h2, w1_ref, s1_ref[li], d, 4 * d)
+                               + b1_ref[li])
 
-    for c in range(4):
-        @pl.when(p == 4 + c)
-        def _(c=c):
-            g_s[:, c * d:(c + 1) * d] = _gelu_exact(
-                mm(h_s[...], w1_ref,
-                   s1_ref[li, c * d:(c + 1) * d])
-                + b1_ref[li, c * d:(c + 1) * d])
-
-    # ---------------------------------------------- p 8..11: FFN down
-    for c in range(4):
-        @pl.when(p == 8 + c)
-        def _(c=c):
-            y = mm(g_s[:, c * d:(c + 1) * d], w2_ref, s2_ref[li])
-            if c == 0:
-                y = y + b2_ref[li]
-            x_s[...] = x_s[...] + y
+    # ------------------------------------------------- p 3: FFN down
+    @pl.when(p == 3)
+    def _():
+        x_s[...] = (x_s[...] + mm(g_s[...], w2_ref, s2_ref[li],
+                                  4 * d, d) + b2_ref[li])
 
     @pl.when(jnp.logical_and(li == nlayers - 1, p == NPHASE - 1))
     def _():
@@ -298,11 +286,6 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
     dh = d // h
     assert flushed % BLK == 0
 
-    def cblock(arr_ndim, cmap):
-        return pl.BlockSpec((1, 1, d, d),
-                            lambda li, p, s, cmap=cmap:
-                            (li, cmap(p), 0, 0))
-
     full = lambda a: pl.BlockSpec(a.shape, lambda li, p, s:
                                   (0,) * a.ndim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,10 +293,10 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
         grid=(nl, NPHASE),
         in_specs=[
             full(x),
-            cblock(4, lambda p: jnp.clip(p, 0, 2)),
+            pl.BlockSpec((1, d, 3 * d), lambda li, p, s: (li, 0, 0)),
             pl.BlockSpec((1, d, d), lambda li, p, s: (li, 0, 0)),
-            cblock(4, lambda p: jnp.clip(p - 4, 0, 3)),
-            cblock(4, lambda p: jnp.clip(p - 8, 0, 3)),
+            pl.BlockSpec((1, d, 4 * d), lambda li, p, s: (li, 0, 0)),
+            pl.BlockSpec((1, 4 * d, d), lambda li, p, s: (li, 0, 0)),
             full(weights["sq"]), full(weights["so"]),
             full(weights["s1"]), full(weights["s2"]),
             full(weights["n1"]), full(weights["n3"]),
@@ -427,11 +410,8 @@ def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
     k_news, v_news, kn_scales, vn_scales = [], [], [], []
     for li in range(nl):
         h1 = rms(x, weights["n1"][li])
-        qkv = jnp.concatenate(
-            [mm(h1, weights["wq"][li, c],
-                weights["sq"][li, c * d:(c + 1) * d])
-             + weights["bq"][li, c * d:(c + 1) * d]
-             for c in range(3)], axis=-1)
+        qkv = (mm(h1, weights["wq"][li], weights["sq"][li])
+               + weights["bq"][li])
         def heads(off):
             return jnp.stack(
                 [qkv[:, off + h0 * dh: off + (h0 + 1) * dh]
@@ -501,15 +481,10 @@ def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
                             preferred_element_type=jnp.float32)
         x = x + y * weights["so"][li] + weights["bo"][li]
         h2 = rms(x, weights["n3"][li])
-        g = jnp.concatenate(
-            [_gelu_exact(mm(h2, weights["w1"][li, c],
-                            weights["s1"][li, c * d:(c + 1) * d])
-                         + weights["b1"][li, c * d:(c + 1) * d])
-             for c in range(4)], axis=-1)
-        x = x + weights["b2"][li]
-        for c in range(4):
-            x = x + mm(g[:, c * d:(c + 1) * d], weights["w2"][li, c],
-                       weights["s2"][li])
+        g = _gelu_exact(mm(h2, weights["w1"][li], weights["s1"][li])
+                        + weights["b1"][li])
+        x = (x + mm(g, weights["w2"][li], weights["s2"][li])
+             + weights["b2"][li])
     return (x,
             jnp.stack(k_news), jnp.stack(v_news),
             jnp.stack(kn_scales), jnp.stack(vn_scales))
