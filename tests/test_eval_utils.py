@@ -4,6 +4,7 @@ torchcrepe/pysptk/jiwer dependencies
 (/root/reference/inference/speech/reconstruction.py:99-156)."""
 import numpy as np
 
+from vae_gslm_tpu.inference import eval_utils
 from vae_gslm_tpu.inference.eval_utils import (cer, edit_distance,
                                                f0_autocorr, f0_mse,
                                                mcd, mel_cepstrum,
@@ -78,3 +79,167 @@ def test_wer_cer_known_values():
     np.testing.assert_allclose(wer(refs, hyps), 2 / 6)
     assert wer(refs, refs) == 0.0
     assert cer(["abc"], ["abd"]) == 1 / 3
+
+
+# ----------------------------------------------- real-package dispatch
+import sys
+import types
+
+import pytest
+
+
+def test_crepe_branch_via_stub(monkeypatch):
+    """When torchcrepe is installed, crepe_f0 routes through
+    torchcrepe.predict with the reference's arguments (tiny model,
+    periodicity, 50-550 Hz band: /root/reference/utils/crepe.py,
+    reconstruction.py:18-19)."""
+    import torch
+
+    calls = {}
+
+    def predict(audio, sr, hop_length=None, fmin=None, fmax=None,
+                model=None, device=None, return_periodicity=False):
+        calls.update(sr=sr, hop=hop_length, fmin=fmin, fmax=fmax,
+                     model=model, device=device,
+                     periodicity=return_periodicity,
+                     n=audio.shape[1])
+        t = 1 + audio.shape[1] // hop_length
+        return (torch.full((1, t), 220.0), torch.full((1, t), 0.9))
+
+    stub = types.ModuleType("torchcrepe")
+    stub.predict = predict
+    monkeypatch.setitem(sys.modules, "torchcrepe", stub)
+
+    wave = np.zeros(3200, np.float32)
+    f0, conf = eval_utils.crepe_f0(wave, 16000, hop=320)
+    assert calls == {"sr": 16000, "hop": 320, "fmin": 50.0,
+                     "fmax": 550.0, "model": "tiny", "device": "cpu",
+                     "periodicity": True, "n": 3200}
+    assert (f0 == 220.0).all() and (conf == 0.9).all()
+
+
+def test_mcd_wav_pysptk_branch_via_stub(monkeypatch):
+    """mcd_wav replicates /root/reference/utils/mcd.py exactly:
+    hamming window, mcep(eps=1e-8, etype=1) per 1024/256 frame,
+    mean 10/ln10*sqrt(2*sum(diff^2)).  Validated against an
+    independent computation over a recording stub of mcep."""
+    mcep_calls = []
+
+    def mcep(frame, dim, alpha, eps=None, etype=None):
+        assert dim == 23 and alpha == 0.42
+        assert eps == 1e-8 and etype == 1
+        mcep_calls.append(len(frame))
+        # deterministic fake cepstrum from the frame content
+        return np.arange(dim + 1) * float(np.mean(frame ** 2))
+
+    sptk = types.SimpleNamespace(hamming=np.hamming, mcep=mcep)
+    stub = types.ModuleType("pysptk")
+    stub.sptk = sptk
+    monkeypatch.setitem(sys.modules, "pysptk", stub)
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(4096).astype(np.float64)
+    b = rng.randn(4096).astype(np.float64)
+    got = eval_utils.mcd_wav(a, b)
+    assert all(n == 1024 for n in mcep_calls)
+
+    # independent reference computation with the same stub mcep
+    def wav2mcep(x):
+        win = np.hamming(1024)
+        nf = (len(x) - 1024) // 256 + 1
+        return np.stack([mcep(x[256 * i: 256 * i + 1024] * win,
+                              23, 0.42, eps=1e-8, etype=1)
+                         for i in range(nf)])
+    ma, mb = wav2mcep(a), wav2mcep(b)
+    exp = np.mean(10.0 / np.log(10.0)
+                  * np.sqrt(2 * np.sum((ma - mb) ** 2, 1)))
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def _mini_jiwer_pipeline(text: str):
+    """Independent replication of the reference's jiwer Compose
+    (reconstruction.py:55-63): ToLowerCase, RemoveWhiteSpace(
+    replace_by_space), RemoveMultipleSpaces,
+    ExpandCommonEnglishContractions, RemovePunctuation, Strip,
+    ReduceToListOfListOfChars."""
+    import re
+    t = text.lower()
+    t = re.sub(r"\s", " ", t)
+    t = re.sub(r" +", " ", t)
+    for pat, rep in [(r"won't", "will not"), (r"can't", "can not"),
+                     (r"n't", " not"), (r"'re", " are"),
+                     (r"'ve", " have"), (r"'ll", " will"),
+                     (r"'d", " would"), (r"'m", " am"),
+                     (r"it's", "it is")]:
+        t = re.sub(pat, rep, t)
+    t = re.sub(r"[^\w\s]", "", t)
+    t = re.sub(r"\s+", " ", t).strip()
+    return list(t)
+
+
+def test_asr_error_rate_matches_jiwer_semantics():
+    """The native fallback numerically equals an independent
+    replication of the reference's jiwer char-error pipeline on a
+    corpus covering contractions, punctuation, spacing and case."""
+    refs = ["Hello, World!", "I can't   do it.", "it's A TEST",
+            "won't you won't", "n o r m a l"]
+    hyps = ["hello world", "I can not do it", "its a test!",
+            "will not you wont", "normal"]
+    got = eval_utils.asr_error_rate(refs, hyps)
+    errs = total = 0
+    for r, h in zip(refs, hyps):
+        rc, hc = _mini_jiwer_pipeline(r), _mini_jiwer_pipeline(h)
+        errs += eval_utils.edit_distance(rc, hc)
+        total += len(rc)
+    np.testing.assert_allclose(got, errs / total, rtol=1e-9)
+
+
+def test_jiwer_branch_via_stub(monkeypatch):
+    """With jiwer installed, asr_error_rate builds the reference's
+    exact Compose list and calls jiwer.cer with it."""
+    seen = {}
+
+    class _T:
+        def __init__(self, name, **kw):
+            self.name = name
+            self.kw = kw
+
+    stub = types.ModuleType("jiwer")
+    for n in ("ToLowerCase", "RemoveMultipleSpaces",
+              "ExpandCommonEnglishContractions", "RemovePunctuation",
+              "Strip", "ReduceToListOfListOfChars"):
+        setattr(stub, n, lambda n=n, **kw: _T(n, **kw))
+    stub.RemoveWhiteSpace = lambda replace_by_space=False: _T(
+        "RemoveWhiteSpace", replace_by_space=replace_by_space)
+    stub.Compose = lambda ts: ("compose", [t.name for t in ts])
+
+    def cer_fn(refs, hyps, reference_transform=None,
+               hypothesis_transform=None):
+        seen.update(refs=refs, hyps=hyps, rt=reference_transform,
+                    ht=hypothesis_transform)
+        return 0.123
+
+    stub.cer = cer_fn
+    monkeypatch.setitem(sys.modules, "jiwer", stub)
+    out = eval_utils.asr_error_rate(["a"], ["b"])
+    assert out == 0.123
+    assert seen["rt"] == ("compose", [
+        "ToLowerCase", "RemoveWhiteSpace", "RemoveMultipleSpaces",
+        "ExpandCommonEnglishContractions", "RemovePunctuation",
+        "Strip", "ReduceToListOfListOfChars"])
+    assert seen["rt"] == seen["ht"]
+
+
+def test_f0_autocorr_accuracy_over_sweep():
+    """Native NCCF tracker accuracy on known-truth tones across the
+    speech band: < 2 Hz absolute error at every tested pitch."""
+    sr = 16000
+    for true_f0 in (100.0, 150.0, 220.0, 330.0, 440.0):
+        t = np.arange(int(sr * 0.5)) / sr
+        wave = (0.5 * np.sin(2 * np.pi * true_f0 * t)).astype(
+            np.float32)
+        f0, conf = eval_utils.f0_autocorr(wave, sr)
+        voiced = conf > 0.5
+        assert voiced.mean() > 0.9, true_f0
+        err = np.abs(np.median(f0[voiced]) - true_f0)
+        assert err < 2.0, (true_f0, err)

@@ -82,3 +82,37 @@ def test_self_attention_fused_path_matches_dense():
     np.testing.assert_allclose(np.asarray(fused.value),
                                np.asarray(dense.value), rtol=1e-4,
                                atol=1e-5)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas blockwise backward needs a TPU")
+def test_blockwise_backward_long_sequence_tpu():
+    """T=4096 grads (beyond the full-matrix kernel's 1024 cap) and a
+    tq != tk decode-style case match the XLA reference (VERDICT r1
+    item 5)."""
+    from vae_gslm_tpu.ops.flash_attention import (
+        _flash_backward_blockwise)
+
+    rng = np.random.RandomState(2)
+    for (b, h, tq, tk) in ((1, 2, 4096, 4096), (1, 2, 96, 256)):
+        q = jnp.asarray(rng.randn(b, h, tq, 64), jnp.float32) * 0.2
+        k = jnp.asarray(rng.randn(b, h, tk, 64), jnp.float32) * 0.2
+        v = jnp.asarray(rng.randn(b, h, tk, 64), jnp.float32) * 0.2
+        g = jnp.asarray(rng.randn(b, h, tq, 64), jnp.float32)
+        lengths = jnp.asarray([tk - 5])
+        slopes = -jnp.asarray([0.25, 0.0625])
+
+        dq, dk, dv = _flash_backward_blockwise(
+            q, k, v, g, lengths, slopes, causal=(tq == tk))
+
+        def f(q, k, v):
+            return (_attention_reference(
+                q, k, v, lengths, slopes, causal=(tq == tk)) * g).sum()
+
+        dq_r, dk_r, dv_r = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        for a, r in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=5e-3, atol=5e-4)

@@ -142,3 +142,48 @@ def test_tp_sampler_parity():
     np.testing.assert_allclose(np.asarray(got["frames"].value),
                                np.asarray(base["frames"].value),
                                rtol=1e-3, atol=1e-4)
+
+
+@requires_8
+def test_tp_flash_attention_shard_map():
+    """With a model axis active, the flash path routes through
+    shard_map (VERDICT r1 item 3: `use_flash: true` no longer forces
+    the dense fallback under TP).  On CPU the kernel body falls back
+    to its XLA reference inside shard_map, so this asserts the spec
+    plumbing + numeric parity; the TPU kernel path shares the wiring."""
+    m = _stack(use_flash=True)
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    mesh = tp.create_mesh_2d(4, 2)
+    placed = tp.shard_params(params, mesh)
+
+    # ambient mesh gates: divisible heads/batch only
+    with tp.flash_mesh(mesh):
+        assert tp.active_flash_mesh(4, 4) is mesh
+        assert tp.active_flash_mesh(3, 4) is None   # 3 heads % 4
+        assert tp.active_flash_mesh(4, 3) is None   # batch % data
+    assert tp.active_flash_mesh(4, 4) is None       # context exited
+
+    rng = np.random.RandomState(0)
+    xv = rng.randn(4, 8, 8).astype(np.float32)
+
+    def loss(params, xv):
+        mod = nnx.merge(graphdef, params, rest)
+        return (mod(Masked.full(xv)).value ** 2).mean()
+
+    mesh1 = mesh_lib.create_mesh(1)
+    p1 = mesh_lib.replicate_tree(params, mesh1)
+    base = float(jax.jit(loss)(p1, jnp.asarray(xv)))
+    base_g = jax.jit(jax.grad(loss))(p1, jnp.asarray(xv))
+
+    xb = mesh_lib.shard_batch({"x": xv}, mesh)["x"]
+    with tp.flash_mesh(mesh):
+        got = float(jax.jit(loss)(placed, xb))
+        g = jax.jit(jax.grad(loss))(placed, xb)
+    np.testing.assert_allclose(got, base, rtol=1e-5)
+    key = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(base_g),
+                   key=key)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

@@ -41,11 +41,41 @@ def f0_autocorr(wave: np.ndarray, sr: int, hop: int = 320,
             continue
         window = ac[lag_min:lag_max] / (ac[0] + 1e-9)
         best = int(np.argmax(window))
-        best_lag = lag_min + best
+        best_lag = float(lag_min + best)
+        # parabolic interpolation around the peak: sub-sample lag
+        # (integer lags quantize f0 by ~f0^2/sr, e.g. 3 Hz at 330 Hz)
+        li, ri = lag_min + best - 1, lag_min + best + 1
+        if 0 < li and ri < len(ac):
+            y0, y1, y2 = ac[li], ac[lag_min + best], ac[ri]
+            denom = y0 - 2 * y1 + y2
+            if abs(denom) > 1e-12:
+                delta = 0.5 * (y0 - y2) / denom
+                best_lag += float(np.clip(delta, -0.5, 0.5))
         if best_lag > 0:
             f0[i] = sr / best_lag
             conf[i] = float(np.clip(window[best], 0.0, 1.0))
     return f0, conf
+
+
+def crepe_f0(wave: np.ndarray, sr: int, hop: int = 320,
+             fmin: float = 50.0, fmax: float = 550.0
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """(f0, periodicity) via torchcrepe when installed (the reference's
+    predictor: ``/root/reference/utils/crepe.py`` with the 'tiny'
+    model, ``reconstruction.py:18-19``); falls back to the native NCCF
+    tracker otherwise.  The sandbox ships no torchcrepe, so the
+    torchcrepe branch is exercised against a stub package in
+    tests/test_eval_utils.py."""
+    try:
+        import torch
+        import torchcrepe
+    except ImportError:
+        return f0_autocorr(wave, sr, hop, fmin, fmax)
+    audio = torch.tensor(np.asarray(wave, np.float32))[None]
+    pitch, periodicity = torchcrepe.predict(
+        audio, sr, hop_length=hop, fmin=fmin, fmax=fmax,
+        model="tiny", device="cpu", return_periodicity=True)
+    return (np.asarray(pitch[0]), np.asarray(periodicity[0]))
 
 
 def f0_mse(gold: np.ndarray, rec: np.ndarray, sr: int,
@@ -53,8 +83,8 @@ def f0_mse(gold: np.ndarray, rec: np.ndarray, sr: int,
     """Periodicity-gated log-f0 MSE
     (``inference/speech/reconstruction.py:99-113`` semantics)."""
     n = min(len(gold), len(rec))
-    g_f0, g_c = f0_autocorr(gold[:n], sr, hop)
-    r_f0, r_c = f0_autocorr(rec[:n], sr, hop)
+    g_f0, g_c = crepe_f0(gold[:n], sr, hop)
+    r_f0, r_c = crepe_f0(rec[:n], sr, hop)
     m = min(len(g_f0), len(r_f0))
     voiced = (g_c[:m] > threshold) & (r_c[:m] > threshold)
     if voiced.sum() == 0:
@@ -72,6 +102,33 @@ def mel_cepstrum(log_mel: np.ndarray, order: int = 13) -> np.ndarray:
     m = np.arange(n)[None, None, :]
     basis = np.cos(np.pi * k * (2 * m + 1) / (2 * n))[0]  # (order, n)
     return log_mel @ basis.T * np.sqrt(2.0 / n)
+
+
+def mcd_wav(gold_wave: np.ndarray, rec_wave: np.ndarray,
+            mcep_dim: int = 23, mcep_alpha: float = 0.42,
+            n_fft: int = 1024, n_shift: int = 256) -> float:
+    """Waveform MCD via pysptk mel-cepstra — the EXACT reference
+    pipeline (``/root/reference/utils/mcd.py:5-24``: hamming window,
+    ``pysptk.sptk.mcep(..., eps=1e-8, etype=1)``, mean of
+    ``10/ln10 * sqrt(2*sum(diff^2))``).  Raises ImportError when
+    pysptk is absent; callers fall back to the log-mel DCT substitute
+    :func:`mcd` (not numerically comparable to published pysptk
+    numbers — documented limitation)."""
+    import pysptk
+
+    def wav2mcep(x):
+        win = pysptk.sptk.hamming(n_fft)
+        n_frame = (len(x) - n_fft) // n_shift + 1
+        return np.stack([
+            pysptk.sptk.mcep(x[n_shift * i: n_shift * i + n_fft] * win,
+                             mcep_dim, mcep_alpha, eps=1e-8, etype=1)
+            for i in range(n_frame)])
+
+    a, b = wav2mcep(np.asarray(gold_wave)), wav2mcep(
+        np.asarray(rec_wave))
+    n = min(len(a), len(b))
+    diff2sum = np.sum((a[:n] - b[:n]) ** 2, 1)
+    return float(np.mean(10.0 / np.log(10.0) * np.sqrt(2 * diff2sum)))
 
 
 def mcd(gold_logmel: np.ndarray, rec_logmel: np.ndarray,
@@ -132,3 +189,36 @@ def cer(references: List[str], hypotheses: List[str]) -> float:
         errs += edit_distance(r, h)
         total += len(r)
     return errs / max(total, 1)
+
+
+def asr_error_rate(references: List[str],
+                   hypotheses: List[str]) -> float:
+    """The reference's published 'wer' metric — which is actually a
+    jiwer CHARACTER error rate over normalized text INCLUDING spaces
+    (``jiwer.cer`` + ReduceToListOfListOfChars,
+    ``/root/reference/inference/speech/reconstruction.py:55-75``).
+    Prefers real jiwer with the reference's exact Compose pipeline;
+    the native fallback replicates it (lowercase, whitespace->space,
+    collapse, expand contractions, strip punctuation, strip, chars)."""
+    try:
+        import jiwer
+    except ImportError:
+        errs, total = 0, 0
+        for ref, hyp in zip(references, hypotheses):
+            r = list(normalize_text(ref))
+            h = list(normalize_text(hyp))
+            errs += edit_distance(r, h)
+            total += len(r)
+        return errs / max(total, 1)
+    transformation = jiwer.Compose([
+        jiwer.ToLowerCase(),
+        jiwer.RemoveWhiteSpace(replace_by_space=True),
+        jiwer.RemoveMultipleSpaces(),
+        jiwer.ExpandCommonEnglishContractions(),
+        jiwer.RemovePunctuation(),
+        jiwer.Strip(),
+        jiwer.ReduceToListOfListOfChars(),
+    ])
+    return jiwer.cer(references, hypotheses,
+                     reference_transform=transformation,
+                     hypothesis_transform=transformation)

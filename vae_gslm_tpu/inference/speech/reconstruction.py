@@ -82,14 +82,23 @@ class ReconstructionEvaluator(LikelihoodEstimator):
                     for i in range(len(g_w))]
             scores["f0mse"] = [v for v in vals if np.isfinite(v)]
         if "mcd" in self.tasks:
-            from ...data.features import MelSpecFeatureProcessor
-            proc = MelSpecFeatureProcessor(self.vocoder.hp)
-            vals = []
-            for i in range(len(g_w)):
-                gm = np.asarray(proc.encode_single(g_w[i, : g_l[i]]))
-                rm = np.asarray(proc.encode_single(r_w[i, : r_l[i]]))
-                vals.append(eval_utils.mcd(gm, rm))
-            scores["mcd"] = vals
+            try:
+                # the reference's exact pysptk pipeline when available
+                scores["mcd"] = [
+                    eval_utils.mcd_wav(g_w[i, : g_l[i]],
+                                       r_w[i, : r_l[i]])
+                    for i in range(len(g_w))]
+            except ImportError:
+                from ...data.features import MelSpecFeatureProcessor
+                proc = MelSpecFeatureProcessor(self.vocoder.hp)
+                vals = []
+                for i in range(len(g_w)):
+                    gm = np.asarray(
+                        proc.encode_single(g_w[i, : g_l[i]]))
+                    rm = np.asarray(
+                        proc.encode_single(r_w[i, : r_l[i]]))
+                    vals.append(eval_utils.mcd(gm, rm))
+                scores["mcd"] = vals
         if "wer" in self.tasks and self.asr is not None:
             gt, re_t = [], []
             for i in range(len(g_w)):
@@ -120,4 +129,8 @@ class ReconstructionEvaluator(LikelihoodEstimator):
         if gt_all and "text_written_form" not in out:
             out["re_cer"] = eval_utils.cer(gt_all, re_all)
             out["re_wer"] = eval_utils.wer(gt_all, re_all)
+            # the reference's published metric (jiwer char rate over
+            # normalized text, reconstruction.py:55-75)
+            out["re_asr_error"] = eval_utils.asr_error_rate(
+                gt_all, re_all)
         return out

@@ -209,7 +209,17 @@ class SelfAttention(nnx.Module):
                                (0, 2, 1, 3))
             vh = jnp.transpose(_split_heads(v, self.nheads),
                                (0, 2, 1, 3))
-            out = flash_attention(qh, kh, vh, x.lengths, slopes, True)
+            from ..parallel import tp
+            tp_mesh = tp.active_flash_mesh(self.nheads,
+                                           qh.shape[0])
+            if tp_mesh is not None:
+                # GSPMD cannot partition the Pallas custom call;
+                # shard_map runs it per device over (data, model).
+                out = tp.shard_map_flash(qh, kh, vh, x.lengths,
+                                         slopes, True, tp_mesh)
+            else:
+                out = flash_attention(qh, kh, vh, x.lengths, slopes,
+                                      True)
             out = jnp.transpose(out, (0, 2, 1, 3))
             out = self.out_proj(_merge_heads(out))
             outputs["output"] = Masked(out, x.lengths, 1).apply_mask()

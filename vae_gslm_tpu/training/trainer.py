@@ -34,6 +34,7 @@ from ..nn.attention import CrossAttention, SelfAttention
 from ..nn.linear import Dense, Embedding
 from ..nn.transformer import TransformerLayerStack
 from ..parallel import mesh as mesh_lib
+from ..parallel import tp
 from .logging import ExperimentLogger
 from .optimizer import create_optimizer
 
@@ -224,7 +225,8 @@ class BaseTrainer:
                     except Exception as e:  # tunneled platforms may
                         log.warning("profiler unavailable: %s", e)
                         profiled = True
-                metrics = self.run_step(stacked)
+                with tp.flash_mesh(self.mesh):
+                    metrics = self.run_step(stacked)
                 if profile_dir and not profiled \
                         and self.global_step == 12:
                     try:
@@ -243,11 +245,13 @@ class BaseTrainer:
                         self.global_step)
                 if val_interval and \
                         self.global_step % val_interval == 0:
-                    self.validation_run(self.global_step)
+                    with tp.flash_mesh(self.mesh):
+                        self.validation_run(self.global_step)
                     self.checkpoint()
                 if self.global_step >= total_steps:
                     break
-        self.validation_run(self.global_step)
+        with tp.flash_mesh(self.mesh):
+            self.validation_run(self.global_step)
         self.checkpoint()
 
     def checkpoint(self) -> None:
