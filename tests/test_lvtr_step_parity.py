@@ -211,3 +211,41 @@ def test_sampler_fused_path_matches_per_layer():
     np.testing.assert_allclose(
         np.asarray(out_fused["output"].value),
         np.asarray(out_plain["output"].value), rtol=1e-3, atol=1e-3)
+
+
+def test_sampler_hybrid_path_matches_per_layer(monkeypatch):
+    """The hybrid cold/tail Pallas decode path (forced via
+    VAE_GSLM_HYBRID_DECODE=1; kernel in interpret mode on CPU) must
+    reproduce the per-layer decode path sample-for-sample."""
+    from tests.test_models import TINY_LVTR, N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "1")
+    m = LVTR(TINY_LVTR, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    rng = np.random.RandomState(0)
+    b, tp = 2, 6
+    toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
+    mel = rng.randn(b, tp, N_MELS).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(5)
+
+    s_hybrid = ARTRSampler(m, kv_dtype=jnp.int8)
+    out_h = s_hybrid(8, prior, key, temperature=0.8,
+                     token_temperature=0.8)
+
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    s_plain = ARTRSampler(m, kv_dtype=jnp.int8)
+    out_p = s_plain(8, prior, key, temperature=0.8,
+                    token_temperature=0.8)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_h["frames"].value[..., 0]),
+        np.asarray(out_p["frames"].value[..., 0]))  # same tokens
+    np.testing.assert_allclose(
+        np.asarray(out_h["frames"].value),
+        np.asarray(out_p["frames"].value), rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_h["output"].value),
+        np.asarray(out_p["output"].value), rtol=1e-2, atol=1e-2)

@@ -76,6 +76,58 @@ class ARTRSampler:
         return state, Masked(sharded["v"], sharded["l"],
                              prior.time_axis)
 
+    def _run_hybrid(self, model, stacked, enc: Masked, length: int,
+                    k_init, k_pre, k_scan, temperature,
+                    token_temperature, truncated_norm,
+                    interpret: bool):
+        """AR loop over the hybrid cold/tail cache
+        (``TransformerLayerStack.decode_hybrid``): prefill on the
+        stacked head-major cache, convert, then up-to-128-step
+        segments with one static tail->cold flush between them."""
+        from ...ops.fused_decode import TAIL
+
+        b, tp = enc.value.shape[0], enc.value.shape[1]
+        kw = dict(temperature=temperature,
+                  token_temperature=token_temperature,
+                  truncated_norm=truncated_norm)
+        pre_cache = model.init_cache(b, tp + 1, dtype=jnp.int8,
+                                     stacked=True)
+        out, pre_cache = model.step(enc.value, pre_cache,
+                                    jnp.asarray(0), k_pre,
+                                    push_init_state=True,
+                                    init_key=k_init, stacked=stacked,
+                                    **kw)
+        frame = out[:, -1:]
+        total = tp + 1 + length
+        cache, flushed = model.transformer.hybrid_cache_from_prefill(
+            pre_cache, tp + 1, total)
+
+        keys = jax.random.split(k_scan, length)
+        seg_frames = []
+        pos0 = tp + 1          # static: absolute position of `frame`
+        done = 0
+        while done < length:
+            if pos0 - flushed == TAIL:
+                cache = model.transformer.flush_hybrid(cache, flushed)
+                flushed += TAIL
+            seg = min(length - done, flushed + TAIL - pos0)
+
+            def body(carry, k_i, flushed=flushed):
+                frame, cache, pos = carry
+                nxt, cache = model.step_hybrid(
+                    frame, stacked, cache, pos, flushed, k_i,
+                    interpret=interpret, **kw)
+                return (nxt, cache, pos + 1), frame[:, 0]
+
+            (frame, cache, _), fr = jax.lax.scan(
+                body, (frame, cache, jnp.asarray(pos0)),
+                keys[done:done + seg])
+            seg_frames.append(fr)
+            done += seg
+            pos0 += seg
+        frames = jnp.concatenate(seg_frames, axis=0)
+        return jnp.swapaxes(frames, 0, 1), frame
+
     def _build(self, length: int, temperature: float,
                token_temperature: float, truncated_norm,
                encoder_temperature: float, return_attn: bool):
@@ -95,6 +147,19 @@ class ARTRSampler:
         use_stacked = (self.mesh is None
                        and self.model.transformer
                            .supports_stacked_decode())
+        # Hybrid cold/tail decode: one Pallas attention kernel per
+        # layer inside the weight scan (ops/fused_decode.py).  TPU by
+        # default; VAE_GSLM_HYBRID_DECODE=1 forces it elsewhere (the
+        # kernel runs in interpret mode off-TPU — tests use this),
+        # =0 disables.
+        import os as _os
+        hybrid_env = _os.environ.get("VAE_GSLM_HYBRID_DECODE", "auto")
+        hybrid_interpret = jax.default_backend() != "tpu"
+        use_hybrid = (use_stacked
+                      and self.kv_dtype == jnp.int8
+                      and not return_attn
+                      and {"auto": not hybrid_interpret,
+                           "1": True, "0": False}[hybrid_env])
 
         @jax.jit
         def run(state, prior: Masked, key: Array):
@@ -107,6 +172,16 @@ class ARTRSampler:
             b, tp = enc.value.shape[0], enc.value.shape[1]
             stacked = (model.transformer.build_stacked_decode()
                        if use_stacked and b <= 32 else None)
+            if use_hybrid and stacked is not None:
+                frames, frame_last = self._run_hybrid(
+                    model, stacked, enc, length, k_init, k_pre,
+                    k_scan, temperature, token_temperature,
+                    truncated_norm, hybrid_interpret)
+                full = jnp.concatenate([enc.value, frames], axis=1)
+                full_m = Masked.from_lengths(full, enc.lengths + length)
+                mel = (model.decode(full_m, k_dec, u_c=u_c)
+                       if has_utt else model.decode(full_m, k_dec))
+                return {"output": mel, "frames": full_m}
             caches = model.init_cache(b, tp + 1 + length,
                                       dtype=self.kv_dtype,
                                       stacked=stacked is not None)

@@ -329,6 +329,44 @@ class LVTR(nnx.Module):
             return out, caches, attn["self_attn"]
         return out, caches
 
+    def step_hybrid(self, xv: Array, stacked, cache: dict, pos: Array,
+                    flushed: int, key: Array,
+                    temperature: float = 1.0,
+                    token_temperature: float = 1.0,
+                    truncated_norm: Optional[Tuple[float, float]] = None,
+                    interpret: bool = False):
+        """``step`` over the hybrid cold/tail cache with per-layer
+        Pallas attention (``TransformerLayerStack.decode_hybrid``) —
+        the small-serving-batch fast path."""
+        k_prior, k_tok = jax.random.split(key)
+        b = xv.shape[0]
+        if self.use_tokens:
+            ids = xv[..., 0].astype(jnp.int32)
+            latents = xv[..., 1:]
+            emb = self.token_embedding.lookup(ids)
+            fused = emb + jax.nn.relu(self.token_fuser.dense(latents))
+        else:
+            fused = xv
+        h, cache = self.transformer.decode_hybrid(
+            fused, stacked, cache, pos, flushed, interpret=interpret)
+        hm = Masked.full(h)
+        q_split = self.q_spliter(hm) if self.use_tokens else hm
+        z = self.prior_head(q_split, k_prior, temperature=temperature,
+                            truncated_norm=truncated_norm)
+        sample_z = z.sample
+        if self.transformer_flow is not None:
+            sample_z = self.transformer_flow.reverse(sample_z,
+                                                     c=q_split)
+        out = sample_z.value
+        if self.use_tokens:
+            logits = self.token_predictor(
+                self.token_spliter(hm)).value.astype(jnp.float32)
+            tok = jax.random.categorical(
+                k_tok, logits / token_temperature, axis=-1)
+            out = jnp.concatenate(
+                [tok[..., None].astype(jnp.float32), out], axis=-1)
+        return out, cache
+
     # ------------------------------------------------------------------
     def decode(self, x: Masked, key: Array,
                u_c: Optional[Array] = None,

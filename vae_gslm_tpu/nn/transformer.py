@@ -355,6 +355,159 @@ class TransformerLayerStack(nnx.Module):
             "ffn2": dense(lambda la: la.linear2),
         }
 
+    def hybrid_cache_from_prefill(self, cache: LayerKVCache,
+                                  prompt_len: int, total_len: int):
+        """Convert a filled int8 stacked prefill cache (positions
+        [0, prompt_len)) into the hybrid cold/tail layout of
+        ``ops/fused_decode.py``: time-minor cold prefix holding the
+        flushed multiple-of-128 positions + head-major 128-row tail
+        holding the remainder.  Returns (HybridKVCache-dict, flushed)."""
+        from ..ops.fused_decode import BLK, TAIL
+
+        assert cache.quantized, "hybrid decode requires the int8 cache"
+        nl, b, h, _, dh = cache.k.shape
+        flushed = (prompt_len // TAIL) * TAIL
+        max_flushed = (total_len // TAIL) * TAIL
+        tc = -(-max(max_flushed, BLK) // BLK) * BLK
+
+        def cold(x):
+            out = jnp.zeros((nl, b, h, dh, tc), jnp.int8)
+            return jax.lax.dynamic_update_slice(
+                out, jnp.swapaxes(x[:, :, :, :flushed], 3, 4),
+                (0, 0, 0, 0, 0)) if flushed else out
+
+        def cold_s(x):
+            out = jnp.zeros((nl, b, h, tc), jnp.float32)
+            return (out.at[..., :flushed].set(x[..., :flushed])
+                    if flushed else out)
+
+        def tail(x):
+            n = prompt_len - flushed
+            out = jnp.zeros((nl, b, h, TAIL, dh), jnp.int8)
+            return out.at[:, :, :, :n].set(
+                x[:, :, :, flushed:prompt_len])
+
+        def tail_s(x):
+            n = prompt_len - flushed
+            out = jnp.zeros((nl, b, h, TAIL), jnp.float32)
+            return out.at[..., :n].set(x[..., flushed:prompt_len])
+
+        return {
+            "k_cold": cold(cache.k), "v_cold": cold(cache.v),
+            "kc_scale": cold_s(cache.k_scale),
+            "vc_scale": cold_s(cache.v_scale),
+            "k_tail": tail(cache.k), "v_tail": tail(cache.v),
+            "kt_scale": tail_s(cache.k_scale),
+            "vt_scale": tail_s(cache.v_scale),
+        }, flushed
+
+    @staticmethod
+    def flush_hybrid(cache: dict, flushed_prev: int) -> dict:
+        """Move the full tail (positions [flushed_prev,
+        flushed_prev+128)) into the cold prefix (one static aligned
+        lane-block write per segment; a per-step lane-dim write would
+        rewrite the whole cache — measured 11 ms/step)."""
+        from ..ops.fused_decode import TAIL
+
+        sl = slice(flushed_prev, flushed_prev + TAIL)
+        return {
+            "k_cold": cache["k_cold"].at[..., sl].set(
+                jnp.swapaxes(cache["k_tail"], 3, 4)),
+            "v_cold": cache["v_cold"].at[..., sl].set(
+                jnp.swapaxes(cache["v_tail"], 3, 4)),
+            "kc_scale": cache["kc_scale"].at[..., sl].set(
+                cache["kt_scale"]),
+            "vc_scale": cache["vc_scale"].at[..., sl].set(
+                cache["vt_scale"]),
+            "k_tail": cache["k_tail"], "v_tail": cache["v_tail"],
+            "kt_scale": cache["kt_scale"],
+            "vt_scale": cache["vt_scale"],
+        }
+
+    def decode_hybrid(self, xv: Array, stacked, cache: dict,
+                      pos: Array, flushed: int,
+                      interpret: bool = False):
+        """Single-token fused step over the hybrid cold/tail cache:
+        the layer-scan streams stacked weights while attention runs as
+        ONE Pallas kernel per layer (``ops/fused_decode.py`` — int8
+        MXU QK/AV, in-kernel masks/ALiBi/self-token; ~36 us/layer at
+        B=8 vs ~60 us for the XLA op chain).  The 16 layers' new K/V
+        rows are appended to the head-major tail in one deferred write
+        (slot ``pos - flushed``)."""
+        from ..ops.fused_decode import fused_decode_attention
+        from .attention import _quantize_i8
+
+        if self.linear is not None:
+            xv = self.linear(xv)
+        if self.first_norm is not None:
+            xv = self.first_norm(xv)
+        la0 = self.layers[0]
+        nheads = la0.self_attn.nheads
+        eps1 = la0.norm1.eps
+        act = la0.activation
+        b, s, d = xv.shape
+        assert s == 1
+        dh = d // nheads
+        slopes = (self.rpe.slopes[...] if self.rpe_id == "ALiBi"
+                  else jnp.zeros((nheads,), jnp.float32))
+
+        def rms(x, scale):
+            xf = x.astype(jnp.float32)
+            ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(ms + eps1)
+                    * scale).astype(x.dtype)
+
+        def matmul(x, entry):
+            w = entry["w"]
+            if w.dtype == jnp.int8:
+                w = w.astype(x.dtype) * entry["scale"]
+            y = x @ w
+            if "b" in entry:
+                y = y + entry["b"]
+            return y
+
+        def body(x, wl):
+            w_l, li = wl
+            h = rms(x, w_l["n1"])
+            qkv = matmul(h, w_l["qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            qh = q[:, 0].reshape(b, nheads, dh)
+            kh = k[:, 0].reshape(b, nheads, dh)
+            vh = v[:, 0].reshape(b, nheads, dh)
+            out = fused_decode_attention(
+                qh, cache["k_cold"], cache["v_cold"],
+                cache["kc_scale"], cache["vc_scale"],
+                cache["k_tail"], cache["v_tail"],
+                cache["kt_scale"], cache["vt_scale"],
+                pos, li, slopes, kh, vh, flushed,
+                interpret=interpret)
+            out = out.astype(x.dtype).reshape(b, 1, d)
+            x = x + matmul(out, w_l["out"])
+            h2 = rms(x, w_l["n3"])
+            x = x + matmul(act(matmul(h2, w_l["ffn1"])), w_l["ffn2"])
+            return x, (kh, vh)
+
+        nl = len(self.layers)
+        x, (k_new, v_new) = jax.lax.scan(
+            body, xv, (stacked, jnp.arange(nl)))
+        kq, ksc = _quantize_i8(k_new)       # (L, B, H, Dh) per-row
+        vq, vsc = _quantize_i8(v_new)
+        slot = pos - flushed
+        cache = dict(cache)
+        cache["k_tail"] = jax.lax.dynamic_update_slice(
+            cache["k_tail"], kq[:, :, :, None], (0, 0, 0, slot, 0))
+        cache["v_tail"] = jax.lax.dynamic_update_slice(
+            cache["v_tail"], vq[:, :, :, None], (0, 0, 0, slot, 0))
+        cache["kt_scale"] = jax.lax.dynamic_update_slice(
+            cache["kt_scale"], ksc[..., None], (0, 0, 0, slot))
+        cache["vt_scale"] = jax.lax.dynamic_update_slice(
+            cache["vt_scale"], vsc[..., None], (0, 0, 0, slot))
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        if self.out is not None:
+            x = self.out(x)
+        return x, cache
+
     def build_mega_decode(self):
         """Chunked int8 weight arrays for the single-call trunk-step
         kernel (``ops/mega_step.fused_trunk_step``).  Returns None

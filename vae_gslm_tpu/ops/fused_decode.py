@@ -13,7 +13,7 @@ Memory architecture (why two cache pieces):
     **head-major tail** ``(L, B, H, 128, D)`` that XLA appends to with
     a cheap sublane-dim row write.  The kernel reads the tail through
     a scalar-prefetch-indexed BlockSpec (block pipelining tolerates a
-    64-wide minor dim; manual DMA does not).  Every 128 positions the
+    64-wide minor dim; manual DMA does not).  Every 256 positions the
     sampler transposes the full tail into the cold cache in one
     aligned static-offset update ("flush") and starts a new segment.
 
@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 BLK = 256
-TAIL = 128
+TAIL = 256
 NEG_INF = -1e30
 
 
@@ -205,8 +205,8 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
                            flushed: int,
                            interpret: bool = False) -> Array:
     """q/k_new/v_new: (B, H, D); cold: (L, B, H, D, Tc) int8 with
-    ``flushed % 256 == 0`` filled positions; tail: (L, B, H, 128, D)
-    int8 holding positions [flushed, flushed+128); scales f32; pos/li
+    ``flushed % 256 == 0`` filled positions; tail: (L, B, H, 256, D)
+    int8 holding positions [flushed, flushed+256); scales f32; pos/li
     scalars; slopes (H,) negative ALiBi slopes.  → (B, H, D) f32
     softmax(QK)V including the current (not yet written) token."""
     from jax.experimental import pallas as pl
@@ -251,6 +251,8 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
                                    lambda g, s: (g, 0, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scalars,
       q.astype(jnp.float32)[:, :, None],
