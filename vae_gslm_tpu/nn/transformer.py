@@ -434,7 +434,7 @@ class TransformerLayerStack(nnx.Module):
         B=8 vs ~60 us for the XLA op chain).  The 16 layers' new K/V
         rows are appended to the head-major tail in one deferred write
         (slot ``pos - flushed``)."""
-        from ..ops.fused_decode import fused_decode_attention
+        from ..ops.fused_decode import fused_decode_attention_prepared
         from .attention import _quantize_i8
 
         if self.linear is not None:
@@ -450,6 +450,13 @@ class TransformerLayerStack(nnx.Module):
         dh = d // nheads
         slopes = (self.rpe.slopes[...] if self.rpe_id == "ALiBi"
                   else jnp.zeros((nheads,), jnp.float32))
+        slopes_f = slopes.astype(jnp.float32)[:, None]
+        nl = len(self.layers)
+        # (L, 2) [pos, li] rows: ONE stack per step instead of
+        # per-layer scalar packing inside the scan body.
+        scalars_all = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (nl,)),
+             jnp.arange(nl, dtype=jnp.int32)], axis=1)
 
         def rms(x, scale):
             xf = x.astype(jnp.float32)
@@ -467,19 +474,19 @@ class TransformerLayerStack(nnx.Module):
             return y
 
         def body(x, wl):
-            w_l, li = wl
+            w_l, scal = wl
             h = rms(x, w_l["n1"])
             qkv = matmul(h, w_l["qkv"])
             q, k, v = jnp.split(qkv, 3, axis=-1)
             qh = q[:, 0].reshape(b, nheads, dh)
             kh = k[:, 0].reshape(b, nheads, dh)
             vh = v[:, 0].reshape(b, nheads, dh)
-            out = fused_decode_attention(
+            out = fused_decode_attention_prepared(
                 qh, cache["k_cold"], cache["v_cold"],
                 cache["kc_scale"], cache["vc_scale"],
                 cache["k_tail"], cache["v_tail"],
                 cache["kt_scale"], cache["vt_scale"],
-                pos, li, slopes, kh, vh, flushed,
+                scal, slopes_f, kh, vh, flushed=flushed,
                 interpret=interpret)
             out = out.astype(x.dtype).reshape(b, 1, d)
             x = x + matmul(out, w_l["out"])
@@ -487,9 +494,8 @@ class TransformerLayerStack(nnx.Module):
             x = x + matmul(act(matmul(h2, w_l["ffn1"])), w_l["ffn2"])
             return x, (kh, vh)
 
-        nl = len(self.layers)
         x, (k_new, v_new) = jax.lax.scan(
-            body, xv, (stacked, jnp.arange(nl)))
+            body, xv, (stacked, scalars_all))
         kq, ksc = _quantize_i8(k_new)       # (L, B, H, Dh) per-row
         vq, vsc = _quantize_i8(v_new)
         slot = pos - flushed

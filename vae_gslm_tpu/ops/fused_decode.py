@@ -60,7 +60,7 @@ def _kernel(scalars_ref, q_ref, slopes_ref, knew_ref, vnew_ref,
     gh = grp * nheads
     d = head_dim
     scale = 1.0 / math.sqrt(d)
-    q = q_ref[...].reshape(gh, 1, d).astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32).reshape(gh, d)[:, None, :]
     slopes = slopes_ref[...].reshape(1, nheads, 1)
     slopes = jnp.broadcast_to(slopes, (grp, nheads, 1)).reshape(
         gh, 1, 1)
@@ -173,16 +173,18 @@ def _kernel(scalars_ref, q_ref, slopes_ref, knew_ref, vnew_ref,
         m, l, acc = merge(m, l, acc, s, av_tail)
 
         # ---- current token (|distance| = 0 -> no ALiBi term) -------
-        k_new = knew_ref[...].reshape(gh, 1, d).astype(jnp.float32)
-        v_new = vnew_ref[...].reshape(gh, 1, d).astype(jnp.float32)
+        k_new = knew_ref[...].astype(jnp.float32).reshape(
+            gh, d)[:, None, :]
+        v_new = vnew_ref[...].astype(jnp.float32).reshape(
+            gh, d)[:, None, :]
         s_self = jnp.sum(q * k_new, axis=2, keepdims=True) * scale
         m_f = jnp.maximum(m, s_self)
         corr = jnp.exp(m - m_f)
         e_self = jnp.exp(s_self - m_f)
         l_f = l * corr + e_self
         acc_f = acc * corr + e_self * v_new
-        o_ref[...] = (acc_f / l_f).reshape(
-            grp, nheads, 1, d).astype(o_ref.dtype)
+        o_ref[...] = (acc_f / l_f).reshape(gh, d).reshape(
+            grp, nheads, d).astype(o_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -194,8 +196,6 @@ def _kernel(scalars_ref, q_ref, slopes_ref, knew_ref, vnew_ref,
     )
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("flushed", "interpret"))
 def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
                            kc_scale: Array, vc_scale: Array,
                            k_tail: Array, v_tail: Array,
@@ -209,6 +209,31 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
     int8 holding positions [flushed, flushed+256); scales f32; pos/li
     scalars; slopes (H,) negative ALiBi slopes.  → (B, H, D) f32
     softmax(QK)V including the current (not yet written) token."""
+    scalars = jnp.stack([jnp.asarray(pos, jnp.int32),
+                         jnp.asarray(li, jnp.int32)])
+    return fused_decode_attention_prepared(
+        q, k_cold, v_cold, kc_scale.astype(jnp.float32),
+        vc_scale.astype(jnp.float32), k_tail, v_tail,
+        kt_scale.astype(jnp.float32), vt_scale.astype(jnp.float32),
+        scalars, slopes.astype(jnp.float32)[:, None], k_new, v_new,
+        flushed=flushed, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("flushed", "interpret"))
+def fused_decode_attention_prepared(
+        q: Array, k_cold: Array, v_cold: Array,
+        kc_scale: Array, vc_scale: Array,
+        k_tail: Array, v_tail: Array,
+        kt_scale: Array, vt_scale: Array,
+        scalars: Array, slopes_f: Array,
+        k_new: Array, v_new: Array,
+        flushed: int, interpret: bool = False) -> Array:
+    """Hot-loop entry: operands pre-laid-out so the call adds ZERO
+    per-layer XLA ops inside the sampling scan (the generic wrapper's
+    casts/stacks cost ~10 small ops per layer per step).  scalars:
+    (2,) int32 [pos, li]; slopes_f: (H, 1) f32; scales f32;
+    q/k_new/v_new native dtype (cast in-kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -217,23 +242,21 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
     grp = 8
     while b % grp:
         grp //= 2
-    scalars = jnp.stack([jnp.asarray(pos, jnp.int32),
-                         jnp.asarray(li, jnp.int32)])
 
     def blk(shape, imap):
         return pl.BlockSpec(shape, imap)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, head_dim=d, nheads=h, grp=grp,
                           flushed=flushed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // grp,),
             in_specs=[
-                blk((grp, h, 1, d), lambda g, s: (g, 0, 0, 0)),
+                blk((grp, h, d), lambda g, s: (g, 0, 0)),
                 blk((h, 1), lambda g, s: (0, 0)),
-                blk((grp, h, 1, d), lambda g, s: (g, 0, 0, 0)),
-                blk((grp, h, 1, d), lambda g, s: (g, 0, 0, 0)),
+                blk((grp, h, d), lambda g, s: (g, 0, 0)),
+                blk((grp, h, d), lambda g, s: (g, 0, 0)),
                 blk((1, grp, h, TAIL, d),
                     lambda g, s: (s[1], g, 0, 0, 0)),
                 blk((1, grp, h, TAIL, d),
@@ -247,23 +270,16 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((grp, h, 1, d),
-                                   lambda g, s: (g, 0, 0, 0)),
+            out_specs=pl.BlockSpec((grp, h, d),
+                                   lambda g, s: (g, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scalars,
-      q.astype(jnp.float32)[:, :, None],
-      slopes.astype(jnp.float32)[:, None],
-      k_new.astype(jnp.float32)[:, :, None],
-      v_new.astype(jnp.float32)[:, :, None],
-      k_tail, v_tail,
-      kt_scale.astype(jnp.float32), vt_scale.astype(jnp.float32),
-      k_cold, v_cold,
-      kc_scale.astype(jnp.float32), vc_scale.astype(jnp.float32))
-    return out[:, :, 0]
+    )(scalars, q, slopes_f, k_new, v_new,
+      k_tail, v_tail, kt_scale, vt_scale,
+      k_cold, v_cold, kc_scale, vc_scale)
 
 
 def fused_decode_attention_reference(q, k_cold, v_cold, kc_scale,
