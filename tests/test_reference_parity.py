@@ -394,3 +394,152 @@ def test_masked_losses_parity():
         _mj(logits, lengths),
         Masked.from_lengths(jnp.asarray(labels), jnp.asarray(lengths)))
     allclose("masked_ce_loss", ce_r, ce_j)
+
+
+# ---------------------------------------------------------------- LVTTS
+LVTTS_HP = Hparams.from_yaml("""
+latent_dim: 4
+text:
+    embedding_dim: 8
+    encoder:
+        bias: false
+        num_layers: 1
+        rpe: {identifier: ALiBi, maxpos: 64}
+        layer:
+            ffd_size: 32
+            dim: 16
+            norm: {identifier: RMSNorm, eps: 1.0e-6}
+            activation: {identifier: GELU}
+            self_attn: {nheads: 4, causal: false}
+eos:
+    num_layers: 1
+    layer:
+        hidden_dim: 16
+        activation: {identifier: GELU}
+        norm: {identifier: LayerNorm, eps: 1.0e-6}
+spkr:
+    embedding_dim: 8
+    num_layers: 1
+    resample_rates: [-2]
+    resample_ksize: [4]
+    init_channel: 16
+    out_channels: [16]
+    hidden_channels: [32]
+    layer:
+        kernel_size: 3
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+encoder:
+    identifier: BottleNeckResNet
+    num_layers: 1
+    resample_rates: [1]
+    resample_ksize: [1]
+    init_channel: 16
+    out_channels: [16]
+    hidden_channels: [32]
+    final_norm: true
+    layer:
+        causal_padding: true
+        kernel_size: 3
+        norm: {identifier: InstanceNorm, eps: 1.0e-6}
+        activation: {identifier: ReLU}
+decoder:
+    diffusion:
+        timesteps: 8
+        sampling_timesteps: 3
+        loss_type: l1
+        input_scale: 5.0
+        objective: pred_noise
+        clamp_range: [-3.0, 1.2]
+        beta_schedule: {identifier: cosine}
+        identifier: ConditionalBottleNeckUNet
+    cond_unet:
+        unet:
+            condition_dim: 8
+            num_layers: 1
+            resample_rates: [1]
+            resample_ksize: [1]
+            init_channel: 16
+            out_channels: [16]
+            hidden_channels: [32]
+            conditional: [true]
+            final_norm: true
+            layer:
+                causal_padding: true
+                kernel_size: 3
+                norm: {identifier: InstanceNorm, eps: 1.0e-6}
+                activation: {identifier: SiLU}
+                condition_type: concat
+        time_embedding:
+            dim: 16
+            maxpos: 8
+            activation: {identifier: SiLU}
+transformer:
+    bias: false
+    rpe: {identifier: ALiBi, maxpos: 64}
+    num_layers: 1
+    layer:
+        ffd_size: 32
+        dim: 16
+        norm: {identifier: RMSNorm, eps: 1.0e-6}
+        activation: {identifier: GELU}
+        self_attn: {nheads: 4, causal: true}
+        cross_attn: {nheads: 4}
+""")
+
+
+def test_lvtts_parity():
+    """Text encoder + speaker embedding + cross-attention trunk + eos
+    head against the reference's own LVTTS
+    (models/tts/lvtr.py:15-95)."""
+    from vae_gslm_tpu.data.symbols import Symbols
+    from vae_gslm_tpu.models.convert_torch import load_torch_lvtts
+    from vae_gslm_tpu.models.tts.lvtr import LVTTS
+
+    lv_ref = ref_import("models.tts.lvtr")
+    ref_sym_mod = ref_import("data.symbols")
+    tm = ref_import("utils.tensormask")
+
+    syms = {"a", "b", "c", "hello", "world"}
+    our_sym = Symbols(syms, " ")
+    ref_sym = ref_sym_mod.Symbols(syms, " ")
+    assert our_sym.num_symbols == ref_sym.num_symbols
+
+    torch.manual_seed(23)
+    ref = lv_ref.LVTTS(ref_hparams(LVTTS_HP), ref_sym,
+                       input_dim=N_MELS)
+    ref.eval()
+    ours = LVTTS(LVTTS_HP, our_sym, input_dim=N_MELS,
+                 rngs=nnx.Rngs(0))
+    load_torch_lvtts(ours, ref.state_dict())
+
+    rng = np.random.RandomState(9)
+    b, tt, ts = 2, 6, 12
+    text_ids = rng.randint(2, our_sym.num_symbols - 1, (b, tt))
+    spkr = rng.randn(b, ts, N_MELS).astype(np.float32)
+    t_len = np.asarray([tt, tt - 2], np.int64)
+    s_len = np.asarray([ts, ts - 3], np.int64)
+
+    with torch.no_grad():
+        (text_r, spkr_r) = ref.encode_condition(
+            tm.TensorMask.fromlength(torch.tensor(text_ids),
+                                     torch.tensor(t_len)),
+            tm.TensorMask.fromlength(torch.tensor(spkr),
+                                     torch.tensor(s_len)))
+    text_j, spkr_j = ours.encode_condition(
+        Masked.from_lengths(jnp.asarray(text_ids), jnp.asarray(t_len)),
+        Masked.from_lengths(jnp.asarray(spkr), jnp.asarray(s_len)))
+    allclose("text memory", text_r.value, text_j.value)
+    allclose("spkr embedding", spkr_r, spkr_j)
+
+    # cross-attention trunk + eos head on a fixed trunk input
+    # (trunk input dim = latent_dim: the stack's in-linear maps 4->16)
+    x = rng.randn(b, 8, 4).astype(np.float32)
+    x_len = np.asarray([8, 6], np.int64)
+    with torch.no_grad():
+        trunk_r = ref.transformer[0](_tm(x, x_len), text_r)
+        eos_r = ref.eos_head(trunk_r).value.squeeze(-1)
+    trunk_j = ours.transformer(_mj(x, x_len), text_j)
+    eos_j = ours.eos_head(trunk_j).value[..., 0]
+    allclose("cross-attn trunk", trunk_r.value, trunk_j.value)
+    allclose("eos logits", eos_r, eos_j)
