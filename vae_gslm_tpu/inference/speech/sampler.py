@@ -288,6 +288,10 @@ class DiscreteARSampler:
         graphdef, state = nnx.split(self.model)
         has_f0 = self.model.f0 is not None
 
+        use_stacked = (self.mesh is None
+                       and self.model.transformer
+                           .supports_stacked_decode())
+
         @jax.jit
         def run(state, prior_tokens: Masked, key: Array):
             model = nnx.merge(graphdef, state)
@@ -306,10 +310,14 @@ class DiscreteARSampler:
                     [jnp.zeros((b, 1, 1), f0.dtype), f0], axis=1)
                 inp = jnp.concatenate(
                     [inp[..., None].astype(jnp.float32), f0_in], -1)
+            stacked = (model.transformer.build_stacked_decode()
+                       if use_stacked and b <= 32 else None)
             caches = model.init_cache(b, tp + 1 + length,
-                                      dtype=self.kv_dtype)
+                                      dtype=self.kv_dtype,
+                                      stacked=stacked is not None)
             out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
-                                     temperature=temperature)
+                                     temperature=temperature,
+                                     stacked=stacked)
             frame = out[:, -1:]
 
             # Windowed segmented scan (see ARTRSampler).
@@ -328,6 +336,7 @@ class DiscreteARSampler:
                     frame, caches, pos = carry
                     nxt, caches = model.step(frame, caches, pos, k_i,
                                              temperature=temperature,
+                                             stacked=stacked,
                                              window=win)
                     return (nxt, caches, pos + 1), frame[:, 0]
 

@@ -157,13 +157,17 @@ class DiscreteAR(nnx.Module):
 
     # ------------------------------------------------------------------
     def init_cache(self, batch: int, max_len: int,
-                   dtype=None) -> List[LayerKVCache]:
+                   dtype=None, stacked: bool = False):
+        if stacked:
+            return self.transformer.init_stacked_cache(batch, max_len,
+                                                       dtype)
         return self.transformer.init_cache(batch, max_len, dtype)
 
-    def step(self, xv: Array, caches: List[LayerKVCache], pos: Array,
+    def step(self, xv: Array, caches, pos: Array,
              key: Array, temperature: float = 1.0,
              window: Optional[int] = None,
-             return_attn: bool = False):
+             return_attn: bool = False,
+             stacked=None):
         """One AR step over the static cache (``discrete.py:167-214``).
 
         xv: (B, S) token ids (single-VQ) or (B, S, 1+1) [token, f0].
@@ -179,8 +183,14 @@ class DiscreteAR(nnx.Module):
         emb = self.embedding.lookup(ids)
         if self.f0 is not None:
             emb = jnp.concatenate([emb, f0.astype(emb.dtype)], axis=-1)
-        res = self.transformer.decode(emb, caches, pos, window=window,
-                                      return_attn=return_attn)
+        if stacked is not None:
+            res = self.transformer.decode_stacked(
+                emb, stacked, caches, pos, window=window,
+                return_attn=return_attn)
+        else:
+            res = self.transformer.decode(emb, caches, pos,
+                                          window=window,
+                                          return_attn=return_attn)
         if return_attn:
             h, caches, attn = res
         else:
