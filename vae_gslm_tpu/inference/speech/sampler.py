@@ -170,9 +170,13 @@ class ARTRSampler:
             enc = model.encode(prior, k_enc,
                                temperature=encoder_temperature)
             b, tp = enc.value.shape[0], enc.value.shape[1]
+            hybrid_cap = int(_os.environ.get(
+                "VAE_GSLM_HYBRID_MAX_BATCH", "32"))
             stacked = (model.transformer.build_stacked_decode()
-                       if use_stacked and b <= 32 else None)
-            if use_hybrid and stacked is not None:
+                       if use_stacked
+                       and b <= max(32, hybrid_cap if use_hybrid
+                                    else 32) else None)
+            if use_hybrid and stacked is not None and b <= hybrid_cap:
                 frames, frame_last = self._run_hybrid(
                     model, stacked, enc, length, k_init, k_pre,
                     k_scan, temperature, token_temperature,
