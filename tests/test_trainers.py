@@ -121,8 +121,8 @@ def hubert_codec_dir(tmp_path_factory, vocoder_dir):
     return d
 
 
-def test_hifigan_trainer_steps(corpus, vocoder_dir, tmp_path_factory):
-    hp = Hparams.from_yaml(f"""
+def _hfgan_hp(corpus):
+    return Hparams.from_yaml(f"""
 trainer:
     identifier: "trainers.vocoder.hfgan.HiFiGANTrainer"
     total_steps: 4
@@ -177,6 +177,10 @@ data:
         post_pad: {{audio: {{length: 0.3}}}}
         sampler: {{type: standard, shuffle: false}}
 """)
+
+
+def test_hifigan_trainer_steps(corpus, vocoder_dir, tmp_path_factory):
+    hp = _hfgan_hp(corpus)
     from vae_gslm_tpu.trainers.vocoder.hfgan import HiFiGANTrainer
     trainer = HiFiGANTrainer(hp)
     logger = ExperimentLogger(
@@ -681,3 +685,118 @@ data:
     # and the reconstruction path runs from the quantized codes
     rec = trainer.model(first_batch["mel"])["reconstruction"]
     assert rec.value.shape == first_batch["mel"].value.shape
+
+
+def test_preemption_checkpoint(corpus, vocoder_dir, tmp_path_factory):
+    """SIGTERM during fit -> full-state checkpoint at the next step
+    boundary + clean return; resume restores the exact step (TPU
+    preemption handling, beyond the reference's none)."""
+    import os
+    import signal
+
+    hp = Hparams.from_yaml(f"""
+trainer:
+    identifier: "trainers.vocoder.hubert.HuBERTDecoderTrainer"
+    total_steps: 1000
+    limit_val_batches: 0
+    distributed: false
+logging: {{log_dir: "unused", num_samples: 0}}
+vocoder: {{path: "{vocoder_dir}"}}
+model:
+{chr(10).join('    ' + line for line in HUBERT_MODEL_HP.splitlines())}
+training:
+    gradient_accumulation: 1
+    optimizer:
+        identifier: AdamW
+        lr: 1.0e-4
+        beta1: 0.9
+        beta2: 0.98
+    scheduler: {{identifier: cosine, min_lr: 1.0e-5, flat_steps: 1}}
+data:
+    train:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: true}}
+    val:
+        path: "{corpus}/tokens.txt"
+        wavdir: "{corpus}"
+        sample_rate: 16000
+        with_text: false
+        with_tokens: true
+        num_workers: 2
+        batch_size: 2
+        token_segment_size: 20
+        post_pad:
+            tokens: {{num_tokens: 20}}
+            mel: {{length: 0.4}}
+        sampler: {{type: standard, shuffle: false}}
+""")
+    from vae_gslm_tpu.trainers.vocoder.hubert import HuBERTDecoderTrainer
+    trainer = HuBERTDecoderTrainer(hp)
+
+    # deliver a REAL SIGTERM after the second run_step
+    orig_run_step = trainer.run_step
+    calls = {"n": 0}
+
+    def counting_run_step(batch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_run_step(batch)
+
+    trainer.run_step = counting_run_step
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("pre_exp")))
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    trainer.fit(logger, val_check_interval=10 ** 9, log_every=1)
+    # returned early (not 1000 steps), with the handler restored
+    assert trainer.global_step == 2
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    full = os.path.join(logger.ckpt_path, "full_state")
+    assert os.path.exists(full)
+    trainer2 = HuBERTDecoderTrainer(hp)
+    trainer2.resume(full)
+    assert trainer2.global_step == 2
+    logger.close()
+
+
+def test_hfgan_full_state_resume(corpus, vocoder_dir,
+                                 tmp_path_factory):
+    """Exact GAN-loop resume: both param sets + BOTH optimizer states
+    + step restore from the orbax full state (the reference can only
+    warm-start the generator)."""
+    hp = _hfgan_hp(corpus)
+    from vae_gslm_tpu.trainers.vocoder.hfgan import HiFiGANTrainer
+    trainer = HiFiGANTrainer(hp)
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("hfg_fs")))
+    trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
+                log_every=1)
+    trainer.checkpoint()
+    full = os.path.join(logger.ckpt_path, "full_state")
+    assert os.path.exists(full)
+    import jax
+    ref_g = np.asarray(jax.tree_util.tree_leaves(trainer.g_params)[0])
+    ref_d = np.asarray(jax.tree_util.tree_leaves(trainer.d_params)[0])
+
+    t2 = HiFiGANTrainer(hp)
+    assert not np.allclose(
+        ref_g, np.asarray(jax.tree_util.tree_leaves(t2.g_params)[0]))
+    t2.resume(full)
+    assert t2.global_step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t2.g_params)[0]), ref_g)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t2.d_params)[0]), ref_d)
+    # optimizer state (adam moments) restored too
+    m_ref = np.asarray(jax.tree_util.tree_leaves(trainer.opt_g)[1])
+    m_got = np.asarray(jax.tree_util.tree_leaves(t2.opt_g)[1])
+    np.testing.assert_array_equal(m_got, m_ref)
+    logger.close()

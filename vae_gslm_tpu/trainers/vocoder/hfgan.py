@@ -207,10 +207,29 @@ class HiFiGANTrainer(BaseTrainer):
         if count:
             self.logger.log_scalar("val/mel", total / count, step)
 
+    def _train_state(self):
+        return {"g_params": self.g_params, "d_params": self.d_params,
+                "opt_g": self.opt_g, "opt_d": self.opt_d,
+                "step": self.global_step}
+
+    def _apply_train_state(self, state) -> None:
+        self.g_params = mesh_lib.replicate_tree(state["g_params"],
+                                                self.mesh)
+        self.d_params = mesh_lib.replicate_tree(state["d_params"],
+                                                self.mesh)
+        self.opt_g = mesh_lib.replicate_tree(state["opt_g"], self.mesh)
+        self.opt_d = mesh_lib.replicate_tree(state["opt_d"], self.mesh)
+        self.global_step = int(state["step"])
+        self._train_step = None
+
     def resume(self, path: str) -> None:
         """Resume generator params from a compact npz (discriminators
         restart — matching the reference compact-checkpoint contract
-        which stores the generator only)."""
+        which stores the generator only), or the full GAN state
+        (both param sets + both optimizers) from an orbax dir."""
+        if not path.endswith(".npz"):
+            self.restore_full_state(path)
+            return
         from ...training.checkpoint import load_compact
         load_compact(self.generator, path)
         self.g_graphdef, g_params, self._g_rest = nnx.split(

@@ -188,6 +188,9 @@ class HuBERTDecoderTrainer(BaseTrainer):
 
     def resume(self, path: str) -> None:
         """Resume model params from a compact npz checkpoint."""
+        if not path.endswith(".npz"):
+            self.restore_full_state(path)   # orbax exact resume
+            return
         from ...training.checkpoint import load_compact
         load_compact(self.model, path)
         self.graphdef, params, self._rest = nnx.split(

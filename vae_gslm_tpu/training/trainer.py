@@ -181,8 +181,42 @@ class BaseTrainer:
     def save_checkpoint(self, path: str) -> None:
         raise NotImplementedError
 
+    # ----------------------------------------------- full-state resume
+    def _train_state(self):
+        """Pytree for exact resume.  Default covers the single-
+        optimizer trainers (params/opt_state/step); multi-optimizer
+        trainers override (e.g. the HiFi-GAN GAN loop)."""
+        if hasattr(self, "params") and hasattr(self, "opt_state"):
+            return {"params": self.params,
+                    "opt_state": self.opt_state,
+                    "step": self.global_step}
+        return None
+
+    def _apply_train_state(self, state) -> None:
+        self.params = mesh_lib.replicate_tree(state["params"],
+                                              self.mesh)
+        self.opt_state = mesh_lib.replicate_tree(state["opt_state"],
+                                                 self.mesh)
+        self.global_step = int(state["step"])
+        self._train_step = None
+
     def save_full_state(self, path: str) -> None:
-        pass
+        """Orbax full train state (exact resume incl. optimizer and
+        step) — available for EVERY trainer, not just LVTR."""
+        state = self._train_state()
+        if state is None:
+            return
+        try:
+            from .checkpoint import save_train_state
+            save_train_state(path, state)
+        except Exception as e:   # orbax quirk tolerance
+            log.warning("full-state save failed: %s", e)
+
+    def restore_full_state(self, path: str) -> None:
+        from .checkpoint import restore_train_state
+        template = self._train_state()
+        state = restore_train_state(path, template)
+        self._apply_train_state(state)
 
     def step_fn(self):
         """Return the pure jitted step callable + its state refs."""
@@ -191,6 +225,34 @@ class BaseTrainer:
     def resume(self, path: str) -> None:
         """Resume from a full-state dir (orbax) or compact npz."""
         raise NotImplementedError
+
+    # ------------------------------------------------------- preemption
+    def _install_preemption_handler(self):
+        """SIGTERM-safe training (beyond the reference, which has no
+        preemption handling — SURVEY §5): TPU VMs are preemptible, and
+        the maintenance signal arrives as SIGTERM.  The handler only
+        sets a flag; the fit loop checkpoints the FULL train state at
+        the next optimizer-step boundary and returns cleanly, so
+        ``-r <full_state>`` resumes exactly.  Returns a restore
+        callable."""
+        import signal
+
+        self._preempted = False
+
+        def on_term(signum, frame):
+            log.warning("SIGTERM received: checkpointing at the next "
+                        "step boundary, then exiting")
+            self._preempted = True
+
+        try:
+            prev = signal.signal(signal.SIGTERM, on_term)
+        except ValueError:          # non-main thread: no handler
+            return lambda: None
+
+        def restore():
+            signal.signal(signal.SIGTERM, prev)
+
+        return restore
 
     # ---------------------------------------------------------------- loop
     def fit(self, logger: ExperimentLogger,
@@ -205,6 +267,7 @@ class BaseTrainer:
             "val_check_interval", None)
         loader = self.train_dataloader()
         accum = self.gradient_update_step
+        restore_sig = self._install_preemption_handler()
         t0 = time.time()
         profiled = False
         epoch = 0
@@ -248,11 +311,18 @@ class BaseTrainer:
                     with tp.flash_mesh(self.mesh):
                         self.validation_run(self.global_step)
                     self.checkpoint()
+                if getattr(self, "_preempted", False):
+                    self.checkpoint()
+                    log.warning("preemption checkpoint written at "
+                                "step %d; exiting fit", self.global_step)
+                    restore_sig()
+                    return
                 if self.global_step >= total_steps:
                     break
         with tp.flash_mesh(self.mesh):
             self.validation_run(self.global_step)
         self.checkpoint()
+        restore_sig()
 
     def checkpoint(self) -> None:
         if self.logger is None:
