@@ -8,6 +8,16 @@ vocode to 16 kHz — and reports real-time factor per chip
 >= 50x real-time per v5e chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs (round-2 measured values in PERFORMANCE.md):
+  BENCH_BATCH=128       batch (128: ~300x throughput point, KV-bound,
+                        per-layer decode; 8: ~92.5x serving point via
+                        the hybrid cold/tail Pallas decode + weight
+                        int8 — set BENCH_W_INT8=1 for that number)
+  BENCH_KV_INT8=1       int8 KV cache (default on)
+  BENCH_W_INT8=0        weight-only int8 trunk (helps at B<=32)
+  BENCH_BF16_PARAMS=1   cast trainable params to bf16 (default on)
+  BENCH_RUNS=3          timed repetitions (min is reported)
 """
 from __future__ import annotations
 
