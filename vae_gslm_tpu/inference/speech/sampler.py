@@ -170,8 +170,12 @@ class ARTRSampler:
             enc = model.encode(prior, k_enc,
                                temperature=encoder_temperature)
             b, tp = enc.value.shape[0], enc.value.shape[1]
+            # Crossover measured on v5e (PERFORMANCE.md): hybrid wins
+            # up to B=64 (126x vs 66x on the per-layer path at the
+            # reference's B=64 operating point); per-layer wins at
+            # B=128 (290x vs 131x — batch-group DMA stride).
             hybrid_cap = int(_os.environ.get(
-                "VAE_GSLM_HYBRID_MAX_BATCH", "32"))
+                "VAE_GSLM_HYBRID_MAX_BATCH", "64"))
             stacked = (model.transformer.build_stacked_decode()
                        if use_stacked
                        and b <= max(32, hybrid_cap if use_hybrid
