@@ -18,12 +18,13 @@ L, B, H, D, TC = 3, 8, 4, 64, 512
 def _setup(seed=0):
     rng = np.random.RandomState(seed)
     q = jnp.asarray(rng.randn(B, H, D), jnp.float32)
-    kc = jnp.asarray(rng.randint(-127, 128, (L, B, H, D, TC)),
+    nb = TC // BLK
+    kc = jnp.asarray(rng.randint(-127, 128, (L, nb, B, H, D, BLK)),
                      jnp.int8)
-    vc = jnp.asarray(rng.randint(-127, 128, (L, B, H, D, TC)),
+    vc = jnp.asarray(rng.randint(-127, 128, (L, nb, B, H, D, BLK)),
                      jnp.int8)
-    kcs = jnp.asarray(rng.rand(L, B, H, TC) * 0.02, jnp.float32)
-    vcs = jnp.asarray(rng.rand(L, B, H, TC) * 0.02, jnp.float32)
+    kcs = jnp.asarray(rng.rand(L, nb, B, H, BLK) * 0.02, jnp.float32)
+    vcs = jnp.asarray(rng.rand(L, nb, B, H, BLK) * 0.02, jnp.float32)
     kt = jnp.asarray(rng.randint(-127, 128, (L, B, H, TAIL, D)),
                      jnp.int8)
     vt = jnp.asarray(rng.randint(-127, 128, (L, B, H, TAIL, D)),
@@ -68,11 +69,17 @@ def test_reference_against_exact_softmax():
         q, kc, vc, kcs, vcs, kt, vt, kts, vts, jnp.asarray(pos), li,
         slopes, kn, vn, flushed))
 
-    # exact fp32: dequantize, concat cold+tail+self, plain softmax
-    k_cold = (np.swapaxes(np.asarray(kc[1], np.float32), 2, 3)
-              * np.asarray(kcs[1])[..., None])[:, :, :flushed]
-    v_cold = (np.swapaxes(np.asarray(vc[1], np.float32), 2, 3)
-              * np.asarray(vcs[1])[..., None])[:, :, :flushed]
+    # exact fp32: dequantize, unblock, concat cold+tail+self, softmax
+    def unblock(x):
+        x = np.transpose(np.asarray(x, np.float32), (1, 2, 0, 4, 3))
+        return x.reshape(B, H, -1, D)[:, :, :flushed]
+
+    def unblock_s(x):
+        x = np.transpose(np.asarray(x), (1, 2, 0, 3))
+        return x.reshape(B, H, -1)[..., :flushed]
+
+    k_cold = unblock(kc[1]) * unblock_s(kcs[1])[..., None]
+    v_cold = unblock(vc[1]) * unblock_s(vcs[1])[..., None]
     k_tail = (np.asarray(kt[1], np.float32)
               * np.asarray(kts[1])[..., None])
     v_tail = (np.asarray(vt[1], np.float32)

@@ -368,18 +368,27 @@ class TransformerLayerStack(nnx.Module):
         nl, b, h, _, dh = cache.k.shape
         flushed = (prompt_len // TAIL) * TAIL
         max_flushed = (total_len // TAIL) * TAIL
-        tc = -(-max(max_flushed, BLK) // BLK) * BLK
+        nb = max(max_flushed, BLK) // BLK
+        nb_f = flushed // BLK
 
         def cold(x):
-            out = jnp.zeros((nl, b, h, dh, tc), jnp.int8)
-            return jax.lax.dynamic_update_slice(
-                out, jnp.swapaxes(x[:, :, :, :flushed], 3, 4),
-                (0, 0, 0, 0, 0)) if flushed else out
+            # block-major (L,NB,B,H,Dh,BLK): contiguous (Dh,BLK)
+            # planes per (b,h) -> 16 KB kernel DMA runs
+            out = jnp.zeros((nl, nb, b, h, dh, BLK), jnp.int8)
+            if not flushed:
+                return out
+            blk = x[:, :, :, :flushed].reshape(
+                nl, b, h, nb_f, BLK, dh)
+            return out.at[:, :nb_f].set(
+                jnp.transpose(blk, (0, 3, 1, 2, 5, 4)))
 
         def cold_s(x):
-            out = jnp.zeros((nl, b, h, tc), jnp.float32)
-            return (out.at[..., :flushed].set(x[..., :flushed])
-                    if flushed else out)
+            out = jnp.zeros((nl, nb, b, h, BLK), jnp.float32)
+            if not flushed:
+                return out
+            return out.at[:, :nb_f].set(jnp.transpose(
+                x[..., :flushed].reshape(nl, b, h, nb_f, BLK),
+                (0, 3, 1, 2, 4)))
 
         def tail(x):
             n = prompt_len - flushed
@@ -403,21 +412,21 @@ class TransformerLayerStack(nnx.Module):
 
     @staticmethod
     def flush_hybrid(cache: dict, flushed_prev: int) -> dict:
-        """Move the full tail (positions [flushed_prev,
-        flushed_prev+128)) into the cold prefix (one static aligned
-        lane-block write per segment; a per-step lane-dim write would
-        rewrite the whole cache — measured 11 ms/step)."""
-        from ..ops.fused_decode import TAIL
+        """Move the full tail (one 256-token block) into cold block
+        ``flushed_prev // 256`` — a single structured block write per
+        segment (a per-step lane-dim write would rewrite the whole
+        cache — measured 11 ms/step)."""
+        from ..ops.fused_decode import BLK
 
-        sl = slice(flushed_prev, flushed_prev + TAIL)
+        nb = flushed_prev // BLK
         return {
-            "k_cold": cache["k_cold"].at[..., sl].set(
+            "k_cold": cache["k_cold"].at[:, nb].set(
                 jnp.swapaxes(cache["k_tail"], 3, 4)),
-            "v_cold": cache["v_cold"].at[..., sl].set(
+            "v_cold": cache["v_cold"].at[:, nb].set(
                 jnp.swapaxes(cache["v_tail"], 3, 4)),
-            "kc_scale": cache["kc_scale"].at[..., sl].set(
+            "kc_scale": cache["kc_scale"].at[:, nb].set(
                 cache["kt_scale"]),
-            "vc_scale": cache["vc_scale"].at[..., sl].set(
+            "vc_scale": cache["vc_scale"].at[:, nb].set(
                 cache["vt_scale"]),
             "k_tail": cache["k_tail"], "v_tail": cache["v_tail"],
             "kt_scale": cache["kt_scale"],

@@ -3,10 +3,14 @@ hybrid cold/tail int8 KV cache (one kernel per layer per AR step).
 
 Memory architecture (why two cache pieces):
   * TPU DMA slices must be 128-aligned in the minor dimension, so the
-    bulk ("cold") cache is stored **time-minor** ``(L, B, H, D, Tc)``
-    and the kernel manually DMAs ``flushed // 256`` key blocks per
-    program, double-buffered.  ``flushed`` is static (a segment
-    constant), so the block loop fully unrolls/pipelines.
+    bulk ("cold") cache is stored **block-major time-minor**
+    ``(L, NB, B, H, D, 256)`` — each 256-token block is a contiguous
+    ``(D, 256)`` plane per (batch, head), so the kernel's manual DMAs
+    move 16 KB runs instead of the 256-byte runs a flat time-minor
+    layout would produce (the block index leads B so the sliced dims
+    stay clear of Mosaic's int8 sub-tiling).  ``flushed`` is static
+    (a segment constant), so the ``flushed // 256``-block loop fully
+    unrolls/pipelines.
   * XLA cannot write a time-minor column cheaply (a lane-dim
     ``dynamic_update_slice`` rewrites the whole cache — measured
     11 ms/step), so the most recent ≤128 tokens live in a small
@@ -101,16 +105,15 @@ def _kernel(scalars_ref, q_ref, slopes_ref, knew_ref, vnew_ref,
 
     def body(kb, vb, ksb, vsb, sems):
         def dma(slot, blk):
-            sl = pl.ds(blk * BLK, BLK)
             bs = pl.ds(ig * grp, grp)
             return (
-                pltpu.make_async_copy(k_hbm.at[li, bs, :, :, sl],
+                pltpu.make_async_copy(k_hbm.at[li, blk, bs],
                                       kb.at[slot], sems.at[0, slot]),
-                pltpu.make_async_copy(v_hbm.at[li, bs, :, :, sl],
+                pltpu.make_async_copy(v_hbm.at[li, blk, bs],
                                       vb.at[slot], sems.at[1, slot]),
-                pltpu.make_async_copy(kscale_hbm.at[li, bs, :, sl],
+                pltpu.make_async_copy(kscale_hbm.at[li, blk, bs],
                                       ksb.at[slot], sems.at[2, slot]),
-                pltpu.make_async_copy(vscale_hbm.at[li, bs, :, sl],
+                pltpu.make_async_copy(vscale_hbm.at[li, blk, bs],
                                       vsb.at[slot], sems.at[3, slot]),
             )
 
@@ -204,11 +207,12 @@ def fused_decode_attention(q: Array, k_cold: Array, v_cold: Array,
                            k_new: Array, v_new: Array,
                            flushed: int,
                            interpret: bool = False) -> Array:
-    """q/k_new/v_new: (B, H, D); cold: (L, B, H, D, Tc) int8 with
-    ``flushed % 256 == 0`` filled positions; tail: (L, B, H, 256, D)
-    int8 holding positions [flushed, flushed+256); scales f32; pos/li
-    scalars; slopes (H,) negative ALiBi slopes.  → (B, H, D) f32
-    softmax(QK)V including the current (not yet written) token."""
+    """q/k_new/v_new: (B, H, D); cold: (L, NB, B, H, D, 256) int8
+    block-major with ``flushed % 256 == 0`` filled positions; tail:
+    (L, B, H, 256, D) int8 holding positions [flushed, flushed+256);
+    scales f32 ((L, NB, B, H, 256) cold / (L, B, H, 256) tail);
+    pos/li scalars; slopes (H,) negative ALiBi slopes.  → (B, H, D)
+    f32 softmax(QK)V including the current (not yet written) token."""
     scalars = jnp.stack([jnp.asarray(pos, jnp.int32),
                          jnp.asarray(li, jnp.int32)])
     return fused_decode_attention_prepared(
@@ -307,13 +311,23 @@ def fused_decode_attention_reference(q, k_cold, v_cold, kc_scale,
             s = jnp.where(t_idx[None, None] < pos, s, NEG_INF)
         return s
 
-    k8c = jnp.swapaxes(k_cold[li], 2, 3)[:, :, :flushed]  # (B,H,Tc,D)
-    v8c = jnp.swapaxes(v_cold[li], 2, 3)[:, :, :flushed]
+    # cold is block-major (NB, B, H, D, BLK): -> (B, H, NB*BLK, D)
+    b_, h_ = q.shape[0], q.shape[1]
+
+    def unblock(x):
+        x = jnp.transpose(x, (1, 2, 0, 4, 3))     # (B,H,NB,BLK,D)
+        return x.reshape(b_, h_, -1, d)[:, :, :flushed]
+
+    def unblock_s(x):
+        x = jnp.transpose(x, (1, 2, 0, 3))        # (B,H,NB,BLK)
+        return x.reshape(b_, h_, -1)[..., :flushed]
+
+    k8c = unblock(k_cold[li])
+    v8c = unblock(v_cold[li])
     parts = []
     if flushed:
-        parts.append((logits(k8c, kc_scale[li][..., :flushed], 0,
-                             False),
-                      v8c, vc_scale[li][..., :flushed]))
+        parts.append((logits(k8c, unblock_s(kc_scale[li]), 0, False),
+                      v8c, unblock_s(vc_scale[li])))
     parts.append((logits(k_tail[li], kt_scale[li], flushed, True),
                   v_tail[li], vt_scale[li]))
     s_self = (jnp.sum(qf * k_new.astype(jnp.float32), -1)[..., None]
