@@ -13,8 +13,8 @@ Memory architecture (why two cache pieces):
     unrolls/pipelines.
   * XLA cannot write a time-minor column cheaply (a lane-dim
     ``dynamic_update_slice`` rewrites the whole cache — measured
-    11 ms/step), so the most recent ≤128 tokens live in a small
-    **head-major tail** ``(L, B, H, 128, D)`` that XLA appends to with
+    11 ms/step), so the most recent ≤256 tokens live in a small
+    **head-major tail** ``(L, B, H, 256, D)`` that XLA appends to with
     a cheap sublane-dim row write.  The kernel reads the tail through
     a scalar-prefetch-indexed BlockSpec (block pipelining tolerates a
     64-wide minor dim; manual DMA does not).  Every 256 positions the
@@ -33,7 +33,8 @@ the caller) enter the softmax in-kernel as an extra logit.
 
 Per-call fixed cost on this platform is ~16 us (a trivial Pallas
 kernel measures 16.5 us), which bounds any per-layer-kernel design to
-~260 us/step at 16 layers; this kernel adds ~10 us of real work.
+~260 us/step at 16 layers; this kernel adds ~20 us of real
+work (measured 36 us/layer at B=8 vs ~60 us for the XLA op chain).
 """
 from __future__ import annotations
 
