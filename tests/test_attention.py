@@ -416,3 +416,85 @@ def test_stacked_decode_unsupported_configs():
                  max_distance=32)
     m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
     assert m.build_stacked_decode() is None
+
+
+def test_hybrid_cache_conversion_and_flush():
+    """hybrid_cache_from_prefill + flush_hybrid round-trip: a 300-row
+    prefill converts to cold block 0 (first 256 positions, block-major
+    transposed) + 44 tail rows; filling the tail and flushing writes
+    cold block 1 exactly."""
+    from vae_gslm_tpu.ops.fused_decode import BLK, TAIL
+
+    hp = _stack_hp(num_layers=2, dim=256)
+    hp.layer.self_attn.nheads = 4          # head_dim 64 (kernel req)
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    b, t = 2, 300
+    x = masked(b, t, 8, lengths=(t, t), seed=3)
+    cache = m.init_cache(b, max_len=t, dtype=jnp.int8, ) if False \
+        else m.init_stacked_cache(b, max_len=t, dtype=jnp.int8)
+    _, cache = m.decode_stacked(x.value, m.build_stacked_decode(),
+                                cache, jnp.asarray(0))
+
+    hyb, flushed = m.hybrid_cache_from_prefill(cache, t, t + 300)
+    assert flushed == 256
+    # cold block 0 holds positions [0, 256) transposed (Dh, BLK)
+    got = np.asarray(hyb["k_cold"])[:, 0]            # (L,B,H,Dh,BLK)
+    exp = np.swapaxes(np.asarray(cache.k)[:, :, :, :BLK], 3, 4)
+    np.testing.assert_array_equal(got, exp)
+    np.testing.assert_array_equal(
+        np.asarray(hyb["kc_scale"])[:, 0],
+        np.asarray(cache.k_scale)[..., :BLK])
+    # tail rows [0, 44) hold positions [256, 300)
+    np.testing.assert_array_equal(
+        np.asarray(hyb["k_tail"])[:, :, :, :t - BLK],
+        np.asarray(cache.k)[:, :, :, BLK:t])
+
+    # fill the remaining tail rows and flush -> cold block 1
+    rng_ = np.random.RandomState(0)
+    full_tail = jnp.asarray(
+        rng_.randint(-127, 128, hyb["k_tail"].shape), jnp.int8)
+    hyb["k_tail"] = full_tail
+    hyb["v_tail"] = full_tail
+    flushed2 = hyb["kt_scale"] + 1.0
+    hyb["kt_scale"] = flushed2
+    hyb["vt_scale"] = flushed2
+    hyb2 = m.flush_hybrid(hyb, flushed)
+    np.testing.assert_array_equal(
+        np.asarray(hyb2["k_cold"])[:, 1],
+        np.swapaxes(np.asarray(full_tail), 3, 4))
+    np.testing.assert_array_equal(np.asarray(hyb2["kc_scale"])[:, 1],
+                                  np.asarray(flushed2))
+    # block 0 untouched
+    np.testing.assert_array_equal(np.asarray(hyb2["k_cold"])[:, 0],
+                                  exp)
+
+
+def test_decode_hybrid_cold_path_matches_stacked():
+    """decode_hybrid (interpret-mode kernel) with a NON-EMPTY cold
+    prefix (prompt 300 > 256) matches decode_stacked on the same
+    state — cross-validates the conversion + in-kernel cold DMA loop
+    on CPU, which the short-prompt sampler A/B never reaches."""
+    hp = _stack_hp(num_layers=2, dim=256)
+    hp.layer.self_attn.nheads = 4
+    m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
+    b, t = 2, 300
+    x = masked(b, t, 8, lengths=(t, t), seed=4)
+    stacked = m.build_stacked_decode()
+    max_len = t + 4
+    cache_s = m.init_stacked_cache(b, max_len, dtype=jnp.int8)
+    _, cache_s = m.decode_stacked(x.value, stacked, cache_s,
+                                  jnp.asarray(0))
+    hyb, flushed = m.hybrid_cache_from_prefill(cache_s, t, max_len)
+    assert flushed == 256
+
+    rng_ = np.random.RandomState(5)
+    for i in range(2):
+        xv = jnp.asarray(rng_.randn(b, 1, 8), jnp.float32)
+        h_ref, cache_s = m.decode_stacked(xv, stacked, cache_s,
+                                          jnp.asarray(t + i))
+        h_hyb, hyb = m.decode_hybrid(xv, stacked, hyb,
+                                     jnp.asarray(t + i), flushed,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(h_hyb),
+                                   np.asarray(h_ref),
+                                   rtol=2e-2, atol=2e-2)
