@@ -800,3 +800,41 @@ def test_hfgan_full_state_resume(corpus, vocoder_dir,
     m_got = np.asarray(jax.tree_util.tree_leaves(t2.opt_g)[1])
     np.testing.assert_array_equal(m_got, m_ref)
     logger.close()
+
+
+def test_discrete_sampler_stacked_matches_per_layer(
+        corpus, hubert_codec_dir):
+    """DiscreteARSampler's fused layer-scan decode reproduces the
+    per-layer path token-for-token (same PRNG contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_gslm_tpu.inference.speech.sampler import DiscreteARSampler
+    from vae_gslm_tpu.trainers.speech.discrete import DiscreteARTrainer
+
+    hp = _discrete_hp(corpus, hubert_codec_dir)
+    trainer = DiscreteARTrainer(hp)
+    model = trainer.model
+    assert model.transformer.supports_stacked_decode()
+    rng = np.random.RandomState(0)
+    b, tp = 2, 6
+    prior = Masked.from_lengths(
+        jnp.asarray(rng.randint(0, 32, (b, tp))),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(4)
+
+    s1 = DiscreteARSampler(model, kv_dtype=jnp.int8)
+    out1 = s1(8, prior, key, temperature=0.8)
+
+    import vae_gslm_tpu.nn.transformer as tr
+    orig = tr.TransformerLayerStack.supports_stacked_decode
+    tr.TransformerLayerStack.supports_stacked_decode = \
+        lambda self: False
+    try:
+        s2 = DiscreteARSampler(model, kv_dtype=jnp.int8)
+        out2 = s2(8, prior, key, temperature=0.8)
+    finally:
+        tr.TransformerLayerStack.supports_stacked_decode = orig
+
+    np.testing.assert_array_equal(np.asarray(out1.value),
+                                  np.asarray(out2.value))
