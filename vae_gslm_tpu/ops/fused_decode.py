@@ -242,9 +242,12 @@ def fused_decode_attention_prepared(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import os as _os
     b, h, d = q.shape
     assert flushed % BLK == 0
-    grp = 8
+    # batch rows per grid program: bigger groups -> fewer, larger
+    # DMAs (VMEM-bounded); 8 measured best at B=8
+    grp = min(b, int(_os.environ.get("VAE_GSLM_FUSED_GRP", "8")))
     while b % grp:
         grp //= 2
 
@@ -280,7 +283,7 @@ def fused_decode_attention_prepared(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scalars, q, slopes_f, k_new, v_new,
       k_tail, v_tail, kt_scale, vt_scale,
