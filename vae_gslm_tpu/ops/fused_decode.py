@@ -283,7 +283,9 @@ def fused_decode_attention_prepared(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # grp<=8 fits the 64 MB scope; a blanket 100 MB limit
+            # costs ~6% at B=8 (Mosaic schedules more conservatively)
+            vmem_limit_bytes=(64 if grp <= 8 else 100) * 1024 * 1024),
         interpret=interpret,
     )(scalars, q, slopes_f, k_new, v_new,
       k_tail, v_tail, kt_scale, vt_scale,
