@@ -430,8 +430,7 @@ def test_hybrid_cache_conversion_and_flush():
     m = TransformerLayerStack(hp, input_dim=8, rngs=rngs())
     b, t = 2, 300
     x = masked(b, t, 8, lengths=(t, t), seed=3)
-    cache = m.init_cache(b, max_len=t, dtype=jnp.int8, ) if False \
-        else m.init_stacked_cache(b, max_len=t, dtype=jnp.int8)
+    cache = m.init_stacked_cache(b, max_len=t, dtype=jnp.int8)
     _, cache = m.decode_stacked(x.value, m.build_stacked_decode(),
                                 cache, jnp.asarray(0))
 
