@@ -3,7 +3,15 @@
 NOTE: in this environment the axon TPU plugin ignores the
 ``JAX_PLATFORMS`` env var; the platform must be forced via
 ``jax.config`` after import (before backend init).
+
+The persistent compile cache makes warm test runs much faster, but
+XLA:CPU cache entries are host-specific AOT code — loading an entry
+compiled on a different machine fails with machine-feature-mismatch
+errors (this broke the round-2 driver gate).  The cache directory is
+therefore keyed by a fingerprint of this host's CPU, so entries from
+another machine can never be picked up.
 """
+import hashlib
 import os
 import sys
 
@@ -12,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("VAE_GSLM_FORCE_CPU", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,7 +28,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compile cache: warm test runs are much faster.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+if not os.environ.get("VAE_GSLM_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/root/repo/.jax_cache_cpu_{_host_fingerprint()}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
