@@ -243,3 +243,78 @@ def test_f0_autocorr_accuracy_over_sweep():
         assert voiced.mean() > 0.9, true_f0
         err = np.abs(np.median(f0[voiced]) - true_f0)
         assert err < 2.0, (true_f0, err)
+
+
+# ------------------------------------------------------- native mcep
+def test_native_mcep_exact_recovery_on_representable_spectrum():
+    """When the warped log-periodogram lies exactly in the span of the
+    order-K warped-cosine basis, the UELS criterion attains its global
+    minimum E=0 at R=0, so mcep must recover the generating
+    coefficients exactly (the same optimum pysptk's solver reaches —
+    /root/reference/utils/mcd.py:10-16 contract)."""
+    rng = np.random.RandomState(3)
+    n_fft, order, alpha = 256, 12, 0.42
+    nbin = n_fft // 2 + 1
+    omega = 2 * np.pi * np.arange(nbin) / n_fft
+    beta = eval_utils._mel_warp(omega, alpha)
+    psi = np.cos(np.outer(beta, np.arange(order + 1)))
+    mc_true = np.concatenate([[0.3], 0.2 * rng.randn(order)])
+    mc_true *= 1.0 / (1 + np.arange(order + 1))       # decaying
+    target_mag = np.exp(mc_true @ psi.T)              # |X(w)|
+    # zero-phase real signal with exactly this |rfft| (eps shifts the
+    # periodogram by 1e-8 — far below the recovery tolerance)
+    x = np.fft.irfft(target_mag, n_fft)
+    mc = eval_utils.mcep(x, order=order, alpha=alpha)
+    np.testing.assert_allclose(mc, mc_true, atol=2e-4)
+
+
+def test_native_mcep_stationarity_on_noise_frames():
+    """On arbitrary (speech-like) frames the solution must be a
+    stationary point of the UELS criterion: grad_k = 2*sum_w w*(1 -
+    e^R)*psi_k = 0.  Convexity of E then makes it the unique global
+    minimum — the defining property shared with SPTK's mcep."""
+    rng = np.random.RandomState(7)
+    n_fft, order, alpha = 1024, 23, 0.42
+    # coloured noise: lowpassed gaussians, hamming windowed
+    x = rng.randn(4, n_fft)
+    x = np.cumsum(x, axis=-1) * 0.05 + x
+    frames = x * np.hamming(n_fft)
+    # tight tolerance to verify full convergence (the dd=1e-5 default
+    # matches SPTK's stop rule and leaves |grad| ~1e-4)
+    mc = eval_utils.mcep(frames, order=order, alpha=alpha,
+                         itr_max=100, dd=1e-10)
+    assert mc.shape == (4, order + 1)
+    spec = np.abs(np.fft.rfft(frames, n_fft, axis=-1)) ** 2 + 1e-8
+    nbin = n_fft // 2 + 1
+    w = np.full(nbin, 2.0 / n_fft)
+    w[0] = w[-1] = 1.0 / n_fft
+    beta = eval_utils._mel_warp(
+        2 * np.pi * np.arange(nbin) / n_fft, alpha)
+    psi = np.cos(np.outer(beta, np.arange(order + 1)))
+    r = np.log(spec) - 2.0 * (mc @ psi.T)
+    grad = 2.0 * ((1.0 - np.exp(r)) * w) @ psi
+    # scale-free stationarity: |grad| small vs the criterion curvature
+    assert np.abs(grad).max() < 1e-6
+
+
+def test_native_mcep_batch_matches_single_frame():
+    rng = np.random.RandomState(11)
+    frames = rng.randn(3, 512) * np.hanning(512)
+    batch = eval_utils.mcep(frames, order=10)
+    for i in range(3):
+        single = eval_utils.mcep(frames[i], order=10)
+        np.testing.assert_allclose(batch[i], single, atol=1e-8)
+
+
+def test_mcd_wav_native_end_to_end():
+    """Without pysptk installed, mcd_wav runs the native UELS solver:
+    identical waves give MCD 0; a quieter copy gives a positive MCD
+    driven by the gain term; result is finite and reasonable."""
+    rng = np.random.RandomState(0)
+    a = rng.randn(3200).astype(np.float64) * 0.1
+    assert eval_utils.mcd_wav(a, a.copy()) < 1e-6
+    val = eval_utils.mcd_wav(a, a * 0.5)
+    # pure gain change: diff only in c0 = ln(0.5) per frame →
+    # MCD = 10/ln10 * sqrt(2) * ln 2 ≈ 4.257 dB
+    exp = 10.0 / np.log(10.0) * np.sqrt(2.0) * np.log(2.0)
+    np.testing.assert_allclose(val, exp, rtol=0.02)

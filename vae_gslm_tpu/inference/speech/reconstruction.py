@@ -82,23 +82,12 @@ class ReconstructionEvaluator(LikelihoodEstimator):
                     for i in range(len(g_w))]
             scores["f0mse"] = [v for v in vals if np.isfinite(v)]
         if "mcd" in self.tasks:
-            try:
-                # the reference's exact pysptk pipeline when available
-                scores["mcd"] = [
-                    eval_utils.mcd_wav(g_w[i, : g_l[i]],
-                                       r_w[i, : r_l[i]])
-                    for i in range(len(g_w))]
-            except ImportError:
-                from ...data.features import MelSpecFeatureProcessor
-                proc = MelSpecFeatureProcessor(self.vocoder.hp)
-                vals = []
-                for i in range(len(g_w)):
-                    gm = np.asarray(
-                        proc.encode_single(g_w[i, : g_l[i]]))
-                    rm = np.asarray(
-                        proc.encode_single(r_w[i, : r_l[i]]))
-                    vals.append(eval_utils.mcd(gm, rm))
-                scores["mcd"] = vals
+            # pysptk pipeline when available, else the native mcep
+            # solver of the same criterion (eval_utils.mcd_wav).
+            scores["mcd"] = [
+                eval_utils.mcd_wav(g_w[i, : g_l[i]],
+                                   r_w[i, : r_l[i]])
+                for i in range(len(g_w))]
         if "wer" in self.tasks and self.asr is not None:
             gt, re_t = [], []
             for i in range(len(g_w)):
