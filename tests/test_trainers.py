@@ -838,3 +838,41 @@ def test_discrete_sampler_stacked_matches_per_layer(
 
     np.testing.assert_array_equal(np.asarray(out1.value),
                                   np.asarray(out2.value))
+
+
+def test_discrete_sampler_hybrid_matches_per_layer(
+        corpus, hubert_codec_dir, monkeypatch):
+    """DiscreteARSampler's hybrid cold/tail Pallas decode path (forced
+    via VAE_GSLM_HYBRID_DECODE=1; kernel in interpret mode on CPU)
+    reproduces the per-layer path token-for-token (same PRNG
+    contract) — the token-LM counterpart of
+    tests/test_lvtr_step_parity.py::test_sampler_hybrid_path_matches_per_layer."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_gslm_tpu.inference.speech.sampler import DiscreteARSampler
+    from vae_gslm_tpu.trainers.speech.discrete import DiscreteARTrainer
+
+    hp = _discrete_hp(corpus, hubert_codec_dir)
+    trainer = DiscreteARTrainer(hp)
+    model = trainer.model
+    assert model.transformer.supports_stacked_decode()
+    rng = np.random.RandomState(0)
+    b, tp = 2, 6
+    prior = Masked.from_lengths(
+        jnp.asarray(rng.randint(0, 32, (b, tp))),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(4)
+
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "1")
+    s_h = DiscreteARSampler(model, kv_dtype=jnp.int8)
+    out_h = s_h(8, prior, key, temperature=0.8)
+
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    s_p = DiscreteARSampler(model, kv_dtype=jnp.int8)
+    out_p = s_p(8, prior, key, temperature=0.8)
+
+    np.testing.assert_array_equal(np.asarray(out_h.value),
+                                  np.asarray(out_p.value))
+    np.testing.assert_array_equal(np.asarray(out_h.lengths),
+                                  np.asarray(out_p.lengths))

@@ -36,6 +36,51 @@ from ...core.masked import Masked
 Array = jax.Array
 
 
+def _hybrid_scan_segments(model, frame, cache, flushed: int,
+                          pos0: int, length: int, keys, step_fn):
+    """Segmented AR scan over the hybrid cold/tail cache (shared by
+    the LVTR and DiscreteAR samplers): up-to-``TAIL``-step ``lax.scan``
+    segments with one static tail→cold flush between them.  ``step_fn``
+    is ``(frame, cache, pos, flushed, key) -> (next, cache)``.
+    Returns ``(frames (B, length, C), last_frame)``."""
+    from ...ops.fused_decode import TAIL
+
+    seg_frames = []
+    done = 0
+    while done < length:
+        if pos0 - flushed == TAIL:
+            cache = model.transformer.flush_hybrid(cache, flushed)
+            flushed += TAIL
+        seg = min(length - done, flushed + TAIL - pos0)
+
+        def body(carry, k_i, flushed=flushed):
+            frame, cache, pos = carry
+            nxt, cache = step_fn(frame, cache, pos, flushed, k_i)
+            return (nxt, cache, pos + 1), frame[:, 0]
+
+        (frame, cache, _), fr = jax.lax.scan(
+            body, (frame, cache, jnp.asarray(pos0)),
+            keys[done:done + seg])
+        seg_frames.append(fr)
+        done += seg
+        pos0 += seg
+    frames = jnp.concatenate(seg_frames, axis=0)
+    return jnp.swapaxes(frames, 0, 1), frame
+
+
+def _select_hybrid(use_stacked: bool, kv_dtype, return_attn: bool):
+    """(use_hybrid, interpret): hybrid cold/tail Pallas decode is the
+    TPU default for the int8 cache; VAE_GSLM_HYBRID_DECODE=1 forces it
+    elsewhere (kernel in interpret mode — tests), =0 disables."""
+    import os as _os
+
+    env = _os.environ.get("VAE_GSLM_HYBRID_DECODE", "auto")
+    interpret = jax.default_backend() != "tpu"
+    use = (use_stacked and kv_dtype == jnp.int8 and not return_attn
+           and {"auto": not interpret, "1": True, "0": False}[env])
+    return use, interpret
+
+
 class ARTRSampler:
     """Sampler for LVTR-family models.
 
@@ -84,8 +129,6 @@ class ARTRSampler:
         (``TransformerLayerStack.decode_hybrid``): prefill on the
         stacked head-major cache, convert, then up-to-128-step
         segments with one static tail->cold flush between them."""
-        from ...ops.fused_decode import TAIL
-
         b, tp = enc.value.shape[0], enc.value.shape[1]
         kw = dict(temperature=temperature,
                   token_temperature=token_temperature,
@@ -102,31 +145,14 @@ class ARTRSampler:
         cache, flushed = model.transformer.hybrid_cache_from_prefill(
             pre_cache, tp + 1, total)
 
-        keys = jax.random.split(k_scan, length)
-        seg_frames = []
-        pos0 = tp + 1          # static: absolute position of `frame`
-        done = 0
-        while done < length:
-            if pos0 - flushed == TAIL:
-                cache = model.transformer.flush_hybrid(cache, flushed)
-                flushed += TAIL
-            seg = min(length - done, flushed + TAIL - pos0)
+        def step_fn(frame, cache, pos, flushed, k_i):
+            return model.step_hybrid(frame, stacked, cache, pos,
+                                     flushed, k_i,
+                                     interpret=interpret, **kw)
 
-            def body(carry, k_i, flushed=flushed):
-                frame, cache, pos = carry
-                nxt, cache = model.step_hybrid(
-                    frame, stacked, cache, pos, flushed, k_i,
-                    interpret=interpret, **kw)
-                return (nxt, cache, pos + 1), frame[:, 0]
-
-            (frame, cache, _), fr = jax.lax.scan(
-                body, (frame, cache, jnp.asarray(pos0)),
-                keys[done:done + seg])
-            seg_frames.append(fr)
-            done += seg
-            pos0 += seg
-        frames = jnp.concatenate(seg_frames, axis=0)
-        return jnp.swapaxes(frames, 0, 1), frame
+        return _hybrid_scan_segments(
+            model, frame, cache, flushed, tp + 1, length,
+            jax.random.split(k_scan, length), step_fn)
 
     def _build(self, length: int, temperature: float,
                token_temperature: float, truncated_norm,
@@ -148,18 +174,10 @@ class ARTRSampler:
                        and self.model.transformer
                            .supports_stacked_decode())
         # Hybrid cold/tail decode: one Pallas attention kernel per
-        # layer inside the weight scan (ops/fused_decode.py).  TPU by
-        # default; VAE_GSLM_HYBRID_DECODE=1 forces it elsewhere (the
-        # kernel runs in interpret mode off-TPU — tests use this),
-        # =0 disables.
+        # layer inside the weight scan (ops/fused_decode.py).
         import os as _os
-        hybrid_env = _os.environ.get("VAE_GSLM_HYBRID_DECODE", "auto")
-        hybrid_interpret = jax.default_backend() != "tpu"
-        use_hybrid = (use_stacked
-                      and self.kv_dtype == jnp.int8
-                      and not return_attn
-                      and {"auto": not hybrid_interpret,
-                           "1": True, "0": False}[hybrid_env])
+        use_hybrid, hybrid_interpret = _select_hybrid(
+            use_stacked, self.kv_dtype, return_attn)
 
         @jax.jit
         def run(state, prior: Masked, key: Array):
@@ -299,6 +317,11 @@ class DiscreteARSampler:
         use_stacked = (self.mesh is None
                        and self.model.transformer
                            .supports_stacked_decode())
+        use_hybrid, hybrid_interpret = _select_hybrid(
+            use_stacked, self.kv_dtype, return_attn=False)
+        import os as _os
+        hybrid_cap = int(_os.environ.get(
+            "VAE_GSLM_HYBRID_MAX_BATCH", "64"))
 
         @jax.jit
         def run(state, prior_tokens: Masked, key: Array):
@@ -319,7 +342,16 @@ class DiscreteARSampler:
                 inp = jnp.concatenate(
                     [inp[..., None].astype(jnp.float32), f0_in], -1)
             stacked = (model.transformer.build_stacked_decode()
-                       if use_stacked and b <= 32 else None)
+                       if use_stacked
+                       and b <= max(32, hybrid_cap if use_hybrid
+                                    else 32) else None)
+            if use_hybrid and stacked is not None and b <= hybrid_cap:
+                frames, _ = self._run_hybrid(
+                    model, stacked, inp, tp, length, k_pre, k_scan,
+                    temperature, hybrid_interpret)
+                return self._assemble(has_f0, ids, f0 if has_f0
+                                      else None, frames,
+                                      prior_tokens.lengths, length)
             caches = model.init_cache(b, tp + 1 + length,
                                       dtype=self.kv_dtype,
                                       stacked=stacked is not None)
@@ -353,16 +385,47 @@ class DiscreteARSampler:
                 start = end
             frames = jnp.concatenate(seg_frames, axis=0)
             frames = jnp.swapaxes(frames, 0, 1)
-            if has_f0:
-                prior_full = jnp.concatenate(
-                    [ids[..., None].astype(jnp.float32), f0], axis=-1)
-                full = jnp.concatenate([prior_full, frames], axis=1)
-            else:
-                full = jnp.concatenate([ids, frames], axis=1)
-            return Masked.from_lengths(full,
-                                       prior_tokens.lengths + length)
+            return self._assemble(has_f0, ids, f0 if has_f0 else None,
+                                  frames, prior_tokens.lengths, length)
 
         return run
+
+    def _run_hybrid(self, model, stacked, inp, tp: int, length: int,
+                    k_pre, k_scan, temperature: float,
+                    interpret: bool):
+        """Hybrid cold/tail decode for the token LM (mirrors
+        ``ARTRSampler._run_hybrid``): SOS+prompt prefill on the
+        stacked int8 cache, convert, then segmented Pallas-attention
+        scan via ``DiscreteAR.step_hybrid``."""
+        b = inp.shape[0]
+        pre_cache = model.init_cache(b, tp + 1, dtype=jnp.int8,
+                                     stacked=True)
+        out, pre_cache = model.step(inp, pre_cache, jnp.asarray(0),
+                                    k_pre, temperature=temperature,
+                                    stacked=stacked)
+        frame = out[:, -1:]
+        cache, flushed = model.transformer.hybrid_cache_from_prefill(
+            pre_cache, tp + 1, tp + 1 + length)
+
+        def step_fn(frame, cache, pos, flushed, k_i):
+            return model.step_hybrid(frame, stacked, cache, pos,
+                                     flushed, k_i,
+                                     temperature=temperature,
+                                     interpret=interpret)
+
+        return _hybrid_scan_segments(
+            model, frame, cache, flushed, tp + 1, length,
+            jax.random.split(k_scan, length), step_fn)
+
+    @staticmethod
+    def _assemble(has_f0: bool, ids, f0, frames, lengths, length: int):
+        if has_f0:
+            prior_full = jnp.concatenate(
+                [ids[..., None].astype(jnp.float32), f0], axis=-1)
+            full = jnp.concatenate([prior_full, frames], axis=1)
+        else:
+            full = jnp.concatenate([ids, frames], axis=1)
+        return Masked.from_lengths(full, lengths + length)
 
     def __call__(self, length: int, prior_tokens: Masked, key: Array,
                  temperature: float = 1.0) -> Masked:

@@ -195,6 +195,16 @@ class DiscreteAR(nnx.Module):
             h, caches, attn = res
         else:
             h, caches = res
+        out = self._sample_from_hidden(h, key, temperature)
+        if return_attn:
+            return out, caches, attn["self_attn"]
+        return out, caches
+
+    def _sample_from_hidden(self, h: Array, key: Array,
+                            temperature: float) -> Array:
+        """Sample next tokens (+ f0) from the trunk's decode output —
+        shared tail of ``step`` / ``step_hybrid`` (same PRNG use, so
+        the paths are sample-for-sample comparable)."""
         if self.single_vq:
             logits = h.astype(jnp.float32)
             sample = jax.random.categorical(key, logits / temperature,
@@ -212,13 +222,29 @@ class DiscreteAR(nnx.Module):
             sample = jnp.stack(codes, axis=-1)[:, None]
         if self.f0 is not None:
             f0_out = self.f0_dense(h).astype(jnp.float32)
-            out = jnp.concatenate(
+            return jnp.concatenate(
                 [sample[..., None].astype(jnp.float32), f0_out], -1)
+        return sample
+
+    def step_hybrid(self, xv: Array, stacked, cache: dict, pos: Array,
+                    flushed: int, key: Array,
+                    temperature: float = 1.0,
+                    interpret: bool = False):
+        """``step`` over the hybrid cold/tail cache with per-layer
+        Pallas attention (``TransformerLayerStack.decode_hybrid``) —
+        the small-serving-batch fast path (mirrors
+        ``models/speech/lvtr.py:step_hybrid``)."""
+        if self.f0 is not None:
+            f0 = xv[..., -1:]
+            ids = xv[..., 0].astype(jnp.int32)
         else:
-            out = sample
-        if return_attn:
-            return out, caches, attn["self_attn"]
-        return out, caches
+            ids = xv.astype(jnp.int32)
+        emb = self.embedding.lookup(ids)
+        if self.f0 is not None:
+            emb = jnp.concatenate([emb, f0.astype(emb.dtype)], axis=-1)
+        h, cache = self.transformer.decode_hybrid(
+            emb, stacked, cache, pos, flushed, interpret=interpret)
+        return self._sample_from_hidden(h, key, temperature), cache
 
     # ------------------------------------------------------------------
     def decode(self, x: Masked, key: Optional[Array] = None,
