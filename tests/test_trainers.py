@@ -342,9 +342,8 @@ data:
     logger.close()
 
 
-def test_lvtts_trainer_and_sampler(corpus, vocoder_dir,
-                                   tmp_path_factory):
-    hp = Hparams.from_yaml(f"""
+def _tts_hp(corpus, vocoder_dir):
+    return Hparams.from_yaml(f"""
 trainer:
     identifier: "trainers.tts.lvtts.LVTTSTrainer"
     total_steps: 4
@@ -482,7 +481,12 @@ data:
             mel: {{length: 0.6}}
         sampler: {{type: standard, shuffle: false}}
 """)
+
+
+def test_lvtts_trainer_and_sampler(corpus, vocoder_dir,
+                                   tmp_path_factory):
     from vae_gslm_tpu.trainers.tts.lvtts import LVTTSTrainer
+    hp = _tts_hp(corpus, vocoder_dir)
     trainer = LVTTSTrainer(hp)
     logger = ExperimentLogger(str(tmp_path_factory.mktemp("tts_exp")))
     trainer.fit(logger, max_steps=2, val_check_interval=10 ** 9,
@@ -876,3 +880,49 @@ def test_discrete_sampler_hybrid_matches_per_layer(
                                   np.asarray(out_p.value))
     np.testing.assert_array_equal(np.asarray(out_h.lengths),
                                   np.asarray(out_p.lengths))
+
+
+def test_tts_sampler_stacked_matches_per_layer(corpus, vocoder_dir):
+    """ARTRTTSSampler's fused layer-scan decode (stacked weights +
+    precomputed per-layer memory K/V for cross-attention) reproduces
+    the per-layer path frame-for-frame and EOS-length-for-length
+    (same PRNG contract)."""
+    import jax
+
+    from vae_gslm_tpu.inference.tts.sampler import ARTRTTSSampler
+    from vae_gslm_tpu.trainers.tts.lvtts import LVTTSTrainer
+
+    hp = _tts_hp(corpus, vocoder_dir)
+    trainer = LVTTSTrainer(hp)
+    model = trainer.model
+    assert model.transformer.supports_stacked_decode(allow_cross=True)
+    assert not model.transformer.supports_stacked_decode()
+    text = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(0).randint(1, 8, (2, 6))),
+        jnp.asarray([6, 4]))
+    spkr = Masked.from_lengths(
+        jnp.asarray(np.random.RandomState(1).randn(2, 10, 20),
+                    jnp.float32), jnp.asarray([10, 10]))
+    key = jax.random.PRNGKey(0)
+
+    s_f = ARTRTTSSampler(model)
+    out_f = s_f(text, spkr, key, max_frames=8, min_frames=2)
+
+    import vae_gslm_tpu.nn.transformer as tr
+    orig = tr.TransformerLayerStack.supports_stacked_decode
+    tr.TransformerLayerStack.supports_stacked_decode = \
+        lambda self, allow_cross=False: False
+    try:
+        s_p = ARTRTTSSampler(model)
+        out_p = s_p(text, spkr, key, max_frames=8, min_frames=2)
+    finally:
+        tr.TransformerLayerStack.supports_stacked_decode = orig
+
+    np.testing.assert_array_equal(np.asarray(out_f["lengths"]),
+                                  np.asarray(out_p["lengths"]))
+    np.testing.assert_allclose(
+        np.asarray(out_f["frames"].value),
+        np.asarray(out_p["frames"].value), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_f["output"].value),
+        np.asarray(out_p["output"].value), rtol=1e-3, atol=1e-4)

@@ -54,6 +54,14 @@ class ARTRTTSSampler:
                temperature: float, eos_threshold: float,
                return_attn: bool):
         graphdef, state = nnx.split(self.model)
+        # Fused layer-scan decode with precomputed per-layer memory
+        # K/V (cross-attention kv_proj hoisted out of the AR loop) —
+        # same win as the speech samplers' stacked path.  Single-mesh,
+        # no-attn-maps only; requires RMSNorm/no-cross-RPE
+        # (supports_stacked_decode(allow_cross=True)).
+        use_stacked = (self.mesh is None and not return_attn
+                       and self.model.transformer
+                           .supports_stacked_decode(allow_cross=True))
 
         @jax.jit
         def run(state, text: Masked, spkr: Masked, key: Array):
@@ -69,17 +77,24 @@ class ARTRTTSSampler:
                 memory, spkr_emb = model.encode_condition(text, spkr)
             memory = model.transformer.project_memory(memory)
             b = text.value.shape[0]
-            caches = model.init_cache(b, max_frames + 1)
+            stacked = (model.transformer.build_stacked_decode(
+                allow_cross=True) if use_stacked and b <= 32 else None)
+            mem_kv = (model.transformer.build_stacked_memory(memory)
+                      if stacked is not None else None)
+            caches = model.init_cache(b, max_frames + 1,
+                                      stacked=stacked is not None)
             step0 = _tts_step(model, model.initial_state(k_init, b),
                               memory, caches, jnp.asarray(0), k_pre,
-                              temperature, eos_threshold, return_attn)
+                              temperature, eos_threshold, return_attn,
+                              stacked=stacked, mem_kv=mem_kv)
             frame0, caches, eos0 = step0[:3]
 
             def body(carry, inp):
                 frame, caches, pos, active, lengths = carry
                 k_i, i = inp
                 res = _tts_step(model, frame, memory, caches, pos, k_i,
-                                temperature, eos_threshold, return_attn)
+                                temperature, eos_threshold, return_attn,
+                                stacked=stacked, mem_kv=mem_kv)
                 nxt, caches, eos = res[:3]
                 emitted = jnp.where(active[:, None, None], frame,
                                     0.0)[:, 0]
@@ -129,12 +144,20 @@ class ARTRTTSSampler:
 
 
 def _tts_step(model, frame, memory, caches, pos, key, temperature,
-              eos_threshold, return_attn=False):
+              eos_threshold, return_attn=False, stacked=None,
+              mem_kv=None):
     """One AR step for LVTTS: self-attention over the static cache,
-    stateless cross-attention against the pre-projected memory."""
+    stateless cross-attention against the pre-projected memory (or,
+    with ``stacked``/``mem_kv``, the fused layer-scan with
+    precomputed memory K/V)."""
     k_prior, _ = jax.random.split(key)
-    res = model.transformer.decode(frame, caches, pos, memory=memory,
-                                   return_attn=return_attn)
+    if stacked is not None:
+        res = model.transformer.decode_stacked(frame, stacked, caches,
+                                               pos, memory_kv=mem_kv)
+    else:
+        res = model.transformer.decode(frame, caches, pos,
+                                       memory=memory,
+                                       return_attn=return_attn)
     if return_attn:
         h, caches, attn = res
         # (L,B,H,1,KV) -> (L,B,H,KV), bf16 so long scans stay cheap.

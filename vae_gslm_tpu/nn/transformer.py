@@ -307,25 +307,35 @@ class TransformerLayerStack(nnx.Module):
     # residual stream and the stacked KV cache — one compiled body,
     # weights streamed back-to-back at full HBM rate.
 
-    def supports_stacked_decode(self) -> bool:
+    def supports_stacked_decode(self, allow_cross: bool = False) -> bool:
         from .norms import RMSNorm
 
         if self.rpe_id not in (None, "ALiBi"):
             return False
         for layer in self.layers:
-            if not layer.preln or layer.cross_attn is not None:
+            if not layer.preln:
                 return False
+            if layer.cross_attn is not None:
+                # Cross-attention folds into the layer scan only when
+                # its K/V of the (static) memory can be precomputed
+                # (``build_stacked_memory``): no q/k RPE, RMSNorm.
+                if not allow_cross:
+                    return False
+                if layer.cross_attn.rpe_id is not None:
+                    return False
+                if not isinstance(layer.norm2, RMSNorm):
+                    return False
             if not isinstance(layer.norm1, RMSNorm):
                 return False
             if not isinstance(layer.norm3, RMSNorm):
                 return False
         return True
 
-    def build_stacked_decode(self):
+    def build_stacked_decode(self, allow_cross: bool = False):
         """Stack per-layer decode weights (L leading axis); returns
         None when this stack's config can't use the fused path.  Call
         once per jitted sampling program, outside the AR scan."""
-        if not self.supports_stacked_decode():
+        if not self.supports_stacked_decode(allow_cross):
             return None
         dt = get_policy().compute_dtype
 
@@ -344,7 +354,7 @@ class TransformerLayerStack(nnx.Module):
                     [m.bias[...] for m in mods]).astype(dt)
             return entry
 
-        return {
+        out = {
             "n1": jnp.stack([la.norm1.scale[...]
                              for la in self.layers]),
             "n3": jnp.stack([la.norm3.scale[...]
@@ -354,6 +364,35 @@ class TransformerLayerStack(nnx.Module):
             "ffn1": dense(lambda la: la.linear1),
             "ffn2": dense(lambda la: la.linear2),
         }
+        if self.is_cross_attn and allow_cross:
+            out["n2"] = jnp.stack([la.norm2.scale[...]
+                                   for la in self.layers])
+            out["cq"] = dense(lambda la: la.cross_attn.q_proj)
+            out["cout"] = dense(lambda la: la.cross_attn.out_proj)
+        return out
+
+    def build_stacked_memory(self, memory: Masked) -> dict:
+        """Per-layer cross-attention K/V of the (static, already
+        ``project_memory``-ed) memory, computed ONCE per sampling call
+        and streamed through the layer scan as xs — the per-step
+        ``kv_proj`` recompute of the per-layer path
+        (``TransformerLayer.decode``'s stateless cross-attention) is
+        hoisted out of the AR loop entirely.  Returns ``{"mk", "mv":
+        (L, B, H, Tm, Dh), "mask": (B, Tm) bool}``."""
+        from .attention import _split_heads
+
+        dt = get_policy().compute_dtype
+        ks, vs = [], []
+        for la in self.layers:
+            kvv = la.cross_attn.kv_proj(memory.value)
+            k, v = jnp.split(kvv, 2, axis=-1)
+            nh = la.cross_attn.nheads
+            ks.append(jnp.swapaxes(_split_heads(k, nh), 1, 2))
+            vs.append(jnp.swapaxes(_split_heads(v, nh), 1, 2))
+        tm = memory.value.shape[1]
+        mask = jnp.arange(tm)[None, :] < memory.lengths[:, None]
+        return {"mk": jnp.stack(ks).astype(dt),
+                "mv": jnp.stack(vs).astype(dt), "mask": mask}
 
     def hybrid_cache_from_prefill(self, cache: LayerKVCache,
                                   prompt_len: int, total_len: int):
@@ -605,13 +644,16 @@ class TransformerLayerStack(nnx.Module):
 
     def decode_stacked(self, xv: Array, stacked, cache: LayerKVCache,
                        pos: Array, window: Optional[int] = None,
-                       return_attn: bool = False):
+                       return_attn: bool = False,
+                       memory_kv: Optional[dict] = None):
         """One AR step through all layers as a single layer-scan.
 
         xv: (B, S, C) raw frames at absolute positions [pos, pos+S);
         cache: stacked cache from ``init_stacked_cache``.  Matches
         ``decode`` (same per-layer math, RMS fp32, ALiBi, int8 cache)
-        — parity asserted in tests/test_attention.py."""
+        — parity asserted in tests/test_attention.py.
+        ``memory_kv`` (from ``build_stacked_memory``) enables fused
+        per-step cross-attention (TTS; single-token steps only)."""
         if self.linear is not None:
             xv = self.linear(xv)
         if self.first_norm is not None:
@@ -655,8 +697,10 @@ class TransformerLayerStack(nnx.Module):
         if s == 1:
             x, new_cache, attns = self._decode_stacked_step(
                 xv, stacked, cache, pos, win, slopes, nheads, rms,
-                matmul, act, return_attn)
+                matmul, act, return_attn, memory_kv)
         else:
+            assert memory_kv is None, \
+                "fused cross-attention is single-token only"
             x, new_cache, attns = self._decode_stacked_prefill(
                 xv, stacked, cache, pos, win, mask, bias, nheads,
                 rms, matmul, act, return_attn)
@@ -675,7 +719,7 @@ class TransformerLayerStack(nnx.Module):
 
     def _decode_stacked_step(self, xv, stacked, cache, pos, win,
                              slopes, nheads, rms, matmul, act,
-                             return_attn):
+                             return_attn, memory_kv=None):
         """Single-token fused step.
 
         The inner layer-scan only READS the stacked cache (as scan
@@ -697,8 +741,16 @@ class TransformerLayerStack(nnx.Module):
         alibi = (slopes.astype(jnp.float32)[None, :, None] * dist
                  if slopes is not None else None)
         scale = 1.0 / math.sqrt(head_dim)
+        if memory_kv is not None:
+            nh_c = self.layers[0].cross_attn.nheads
+            dh_c = d // nh_c
+            scale_c = 1.0 / math.sqrt(dh_c)
+            cmask = memory_kv["mask"][:, None, :]       # (B, 1, Tm)
 
         def body(x, xs):
+            if memory_kv is not None:
+                *xs, mk_l, mv_l = xs
+                xs = tuple(xs)
             if quantized:
                 w_l, k_l, v_l, ks_l, vs_l = xs
                 k_l = k_l[:, :, :win]
@@ -752,6 +804,22 @@ class TransformerLayerStack(nnx.Module):
                          * vh[:, :, 0].astype(jnp.float32))
             out = out.astype(x.dtype).reshape(b, 1, d)
             x = x + matmul(out, w_l["out"])
+            if memory_kv is not None:
+                # Fused cross-attention against the precomputed
+                # per-layer memory K/V (same math as the per-layer
+                # path's stateless CrossAttention: fp32 logits,
+                # padding mask, 1/sqrt(dh) scale).
+                hc = rms(x, w_l["n2"])
+                qc = matmul(hc, w_l["cq"])[:, 0].reshape(b, nh_c, dh_c)
+                cl = jnp.einsum("bhd,bhtd->bht", qc, mk_l,
+                                preferred_element_type=jnp.float32)
+                cl = jnp.where(cmask, cl * scale_c, NEG_INF)
+                wc = jax.nn.softmax(cl, axis=-1)
+                oc = jnp.einsum("bht,bhtd->bhd", wc.astype(mv_l.dtype),
+                                mv_l,
+                                preferred_element_type=jnp.float32)
+                x = x + matmul(oc.astype(x.dtype).reshape(b, 1, d),
+                               w_l["cout"])
             h2 = rms(x, w_l["n3"])
             x = x + matmul(act(matmul(h2, w_l["ffn1"])), w_l["ffn2"])
             ys = (kh, vh, w if return_attn else None)
@@ -759,6 +827,8 @@ class TransformerLayerStack(nnx.Module):
 
         xs = ((stacked, cache.k, cache.v, cache.k_scale, cache.v_scale)
               if quantized else (stacked, cache.k, cache.v))
+        if memory_kv is not None:
+            xs = xs + (memory_kv["mk"], memory_kv["mv"])
         x, (k_new, v_new, w_attn) = jax.lax.scan(body, xv, xs)
         # One deferred write of all layers' new rows (L, B, H, 1, D).
         if quantized:
