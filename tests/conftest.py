@@ -31,16 +31,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def _host_fingerprint() -> str:
+    """Key the cache dir by everything LLVM's feature detection can
+    depend on: the flags line alone is NOT enough — XLA:CPU sets
+    scheduling features like +prefer-no-gather per CPU *model*
+    (microarchitecture errata), so two hosts with identical cpuinfo
+    flags can still produce mutually unloadable AOT entries."""
+    keys = ("vendor_id", "cpu family", "model", "model name",
+            "stepping", "microcode", "flags")
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+                if not line.strip():
+                    break          # first processor block only
+                if line.split(":")[0].strip() in keys:
+                    parts.append(line.strip())
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+        parts = [platform.processor()]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
 
 
 if not os.environ.get("VAE_GSLM_NO_COMPILE_CACHE"):
