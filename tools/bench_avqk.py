@@ -109,10 +109,72 @@ def main():
         return jnp.einsum("bht,bhtd->bhd", w.astype(jnp.bfloat16), vd,
                           preferred_element_type=jnp.float32)
 
+    def qk_vpu(q):
+        """QK as VPU multiply-reduce (no MXU): the M=1 matvec wastes
+        127/128 systolic rows, so a fused convert*mul+sum over the
+        (B,H,T,D) stream can beat it at full HBM rate."""
+        qf = q.astype(jnp.float32)
+        prod = qf[:, :, None, :] * kc.astype(jnp.float32)
+        return prod.sum(-1) * (ks * scale)
+
+    def vpu_both(q):
+        w = softmax_masked(qk_vpu(q))
+        wv = w * vs
+        return (wv[..., None] * vc.astype(jnp.float32)).sum(2)
+
+    def vpu_av(q):
+        w = softmax_masked(qk_s8(q))
+        wv = w * vs
+        return (wv[..., None] * vc.astype(jnp.float32)).sum(2)
+
+    def vpu_qk_mxu_av(q):
+        w = softmax_masked(qk_vpu(q))
+        wv = (w * vs).astype(jnp.bfloat16)
+        return jnp.einsum("bht,bhtd->bhd", wv, vc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    # -- time-major layout: (T, B, H, D) — the window slice is a
+    # contiguous prefix of the whole buffer, so the stream is one
+    # linear read instead of B*H strided (win, D) planes.
+    kt = jnp.transpose(kc, (2, 0, 1, 3))      # (T,B,H,D) int8
+    vt = jnp.transpose(vc, (2, 0, 1, 3))
+    kst = jnp.transpose(ks, (2, 0, 1))        # (T,B,H)
+    vst = jnp.transpose(vs, (2, 0, 1))
+
+    def tmajor(q):
+        qf = q.astype(jnp.float32)[None]                  # (1,B,H,D)
+        logits = (qf * kt.astype(jnp.float32)).sum(-1)    # (T,B,H)
+        logits = logits * (kst * scale)
+        k_pos = jnp.arange(t)
+        dist = jnp.abs(k_pos - pos).astype(jnp.float32)
+        logits = logits + slopes[None, None, :] * dist[:, None, None]
+        logits = jnp.where(k_pos[:, None, None] <= pos, logits,
+                           NEG_INF)
+        w = jax.nn.softmax(logits, axis=0)
+        wv = w * vst                                      # (T,B,H)
+        return (wv[..., None] * vt.astype(jnp.float32)).sum(0)
+
+    def read_bw_hmajor(q):
+        """Pure-read ceiling for the head-major strided pattern."""
+        s = kc.astype(jnp.float32).sum((2, 3)) \
+            + vc.astype(jnp.float32).sum((2, 3))          # (B,H)
+        return q + s[..., None].astype(q.dtype) * 1e-6
+
+    def read_bw_tmajor(q):
+        s = kt.astype(jnp.float32).sum((0, 3)) \
+            + vt.astype(jnp.float32).sum((0, 3))
+        return q + s[..., None].astype(q.dtype) * 1e-6
+
     variants = [("shipped s8QK+bf16AV", shipped, 2),
                 ("s8 QK + s8 AV", av_s8, 2),
                 ("bf16 cache", bf16_cache, 4),
-                ("dequant-first int8", dequant_first, 2)]
+                ("dequant-first int8", dequant_first, 2),
+                ("VPU QK + MXU AV", vpu_qk_mxu_av, 2),
+                ("MXU s8 QK + VPU AV", vpu_av, 2),
+                ("VPU QK + VPU AV", vpu_both, 2),
+                ("time-major VPU", tmajor, 2),
+                ("pure-read h-major", read_bw_hmajor, 2),
+                ("pure-read t-major", read_bw_tmajor, 2)]
 
     for name, fn, bytes_per in variants:
         @jax.jit

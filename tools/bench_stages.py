@@ -25,6 +25,7 @@ from vae_gslm_tpu.core import precision
 from vae_gslm_tpu.core.masked import Masked
 from vae_gslm_tpu.hparams.hp import Hparams
 from vae_gslm_tpu.inference.speech.sampler import (ARTRSampler,
+                                                   _n_segments,
                                                    _select_hybrid)
 from vae_gslm_tpu.models.speech.lvtr import LVTR
 from vae_gslm_tpu.models.vocoder.hfgan import Generator
@@ -106,7 +107,7 @@ def main():
                                  init_key=k_init, stacked=stacked, **kw)
             frame = out[:, -1:]
             max_len = tpv + 1 + length
-            n_seg = max(1, min(8, length // 48))
+            n_seg = _n_segments(length)
             bounds = [round(length * (i + 1) / n_seg)
                       for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)

@@ -36,6 +36,18 @@ from ...core.masked import Masked
 Array = jax.Array
 
 
+def _n_segments(length: int) -> int:
+    """Windowed-decode segment count: more segments → tighter
+    attention windows (less KV-cache streaming) but more compiled
+    scan bodies.  Default 8 ≈ 7% window overhead over the per-step
+    minimum at the 150→650 flagship ramp; override with
+    ``VAE_GSLM_DECODE_SEGMENTS``."""
+    import os as _os
+
+    cap = int(_os.environ.get("VAE_GSLM_DECODE_SEGMENTS", "8"))
+    return max(1, min(cap, length // 48))
+
+
 def _hybrid_scan_segments(model, frame, cache, flushed: int,
                           pos0: int, length: int, keys, step_fn):
     """Segmented AR scan over the hybrid cold/tail cache (shared by
@@ -227,7 +239,7 @@ class ARTRSampler:
             # ``return_attn`` a single full-window segment is used so
             # the per-step attention rows have one static shape.
             max_len = tp + 1 + length
-            n_seg = 1 if return_attn else max(1, min(8, length // 48))
+            n_seg = 1 if return_attn else _n_segments(length)
             bounds = [round(length * (i + 1) / n_seg)
                       for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)
@@ -362,7 +374,7 @@ class DiscreteARSampler:
 
             # Windowed segmented scan (see ARTRSampler).
             max_len = tp + 1 + length
-            n_seg = max(1, min(8, length // 48))
+            n_seg = _n_segments(length)
             bounds = [round(length * (i + 1) / n_seg)
                       for i in range(n_seg)]
             keys = jax.random.split(k_scan, length)

@@ -198,6 +198,30 @@ class ResidualBlock(nnx.Module):
         return dataclasses.replace(x, value=self._tail(h, x.value))
 
 
+def _concat_conv2(conv2: "Conv1d", n_main: int, h: Array,
+                  c: Array) -> Array:
+    """``conv2(concat([h, c]))`` computed as two 1×1 matmuls summed.
+
+    The checkpoint keeps ONE ``(1, cin+aux, chid)`` kernel (reference
+    layout, ``conv/layers.py:196-228``), but splitting the contraction
+    pays twice on TPU: (a) inside the DDIM sampling scan the condition
+    ``c`` is step-invariant, so XLA hoists the aux matmul out of the
+    100-step loop entirely; (b) the main GEMM's contraction dim drops
+    from cin+aux (e.g. 544 → pads to 640 on the MXU, 15% wasted
+    cycles) to the exact-tile cin (512).  Bitwise: two partial K-sums
+    added in fp32 — within float ulp of the fused contraction."""
+    dt = get_policy().compute_dtype
+    w = conv2.kernel[...].astype(dt)[0]            # (cin+aux, chid)
+    y = jnp.matmul(h.astype(dt), w[:n_main],
+                   preferred_element_type=jnp.float32)
+    y = y + jnp.matmul(c.astype(dt), w[n_main:],
+                       preferred_element_type=jnp.float32)
+    y = y.astype(dt)
+    if conv2.bias is not None:
+        y = y + conv2.bias[...].astype(dt)
+    return y
+
+
 class ConditionalResidualBlock(ResidualBlock):
     """FiLM- or concat-conditioned variant (``conv/layers.py:196-228``)."""
 
@@ -210,14 +234,16 @@ class ConditionalResidualBlock(ResidualBlock):
         else:
             hp.aux_in_channels = hp.get("in_dim", hp.in_channels)
             super().__init__(hp, rngs=rngs)
+        self.in_channels = hp.in_channels
 
     def __call__(self, x: Masked, c: Masked) -> Masked:
         if self.condition_type == "film":
             h = self.film(self.norm(self.conv1(x.value)), c.value)
+            h = self.act(self.conv2(h))
         else:
             h = self.norm(self.conv1(x.value))
-            h = jnp.concatenate([h, c.value.astype(h.dtype)], axis=-1)
-        h = self.act(self.conv2(h))
+            h = self.act(_concat_conv2(self.conv2, self.in_channels,
+                                       h, c.value))
         return dataclasses.replace(x, value=self._tail(h, x.value))
 
 
@@ -249,15 +275,20 @@ class TCResidualBlock(ResidualBlock):
             super().__init__(hp, rngs=rngs)
         hp.check_arg_in_hparams("time_dim")
         self.time_emb = Dense(hp.time_dim, hp.in_channels, rngs=rngs)
+        self.in_channels = hp.in_channels
 
     def __call__(self, x: Masked, c: Masked, t: Array) -> Masked:
         te = self.time_emb(self.act(t))[:, None, :]
         if self.condition_type == "film":
             h = self.film(self.norm(self.conv1(x.value) + te), c.value)
+            h = self.act(self.conv2(h))
         else:
             h = self.norm(self.conv1(x.value) + te)
-            h = jnp.concatenate([h, c.value.astype(h.dtype)], axis=-1)
-        h = self.act(self.conv2(h))
+            # split contraction: condition matmul hoists out of the
+            # DDIM scan; main GEMM keeps an exact-tile K (see
+            # _concat_conv2)
+            h = self.act(_concat_conv2(self.conv2, self.in_channels,
+                                       h, c.value))
         return dataclasses.replace(x, value=self._tail(h, x.value))
 
 
