@@ -297,6 +297,36 @@ def test_generator_matches_torch_reference():
                                np.asarray(got.value), atol=1e-5)
 
 
+def test_generator_packed_small_channel_path():
+    """The space-to-depth packed-conv inference path (enabled after
+    ``remove_weight_norm``) matches the reference-shaped graph exactly,
+    including lengths not divisible by the pack factor and the
+    large-batch gate (``hfgan.py`` round-3 fast path)."""
+    import os
+
+    gen = Generator(HFG_HP, rngs=rngs())
+    gen.remove_weight_norm()
+    for t in (12, 11):  # 11*20 = 220 not divisible by r=16 at ch=8
+        mel = np.random.RandomState(1).randn(2, t, 10).astype(np.float32)
+        m = Masked.from_lengths(jnp.asarray(mel), jnp.asarray([t, t]))
+        os.environ["VAE_GSLM_NO_PACKED_VOCODER"] = "1"
+        try:
+            ref = gen(m).value
+        finally:
+            os.environ.pop("VAE_GSLM_NO_PACKED_VOCODER")
+        got = gen(m).value
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+    # batch above the gate threshold falls back to the unpacked graph
+    os.environ["VAE_GSLM_PACK_VOCODER_MAX_BATCH"] = "1"
+    try:
+        gated = gen(m).value
+    finally:
+        os.environ.pop("VAE_GSLM_PACK_VOCODER_MAX_BATCH")
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_discriminators_and_losses():
     wave = jnp.asarray(np.random.RandomState(0).randn(2, 800),
                        jnp.float32) * 0.1

@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from vae_gslm_tpu.core import precision
 from vae_gslm_tpu.core.masked import Masked
 from vae_gslm_tpu.hparams.hp import Hparams
-from vae_gslm_tpu.inference.speech.sampler import _n_segments
+from vae_gslm_tpu.inference.speech.sampler import (_hybrid_scan_segments,
+                                                   _n_segments)
 from vae_gslm_tpu.models.speech.lvtr import LVTR
 
 
@@ -134,6 +135,70 @@ def main():
                                     jnp.arange(start, end))
             start = end
         return carry[0].astype(jnp.float32).sum()
+
+    hybrid = os.environ.get("BENCH_HYBRID", "0") != "0"
+    if hybrid:
+        w_int8 = os.environ.get("BENCH_W_INT8", "1") != "0"
+        if w_int8:
+            model.transformer.quantize_weights_int8()
+            graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def full_scan(state, prior, key):  # noqa: F811
+            m = nnx.merge(graphdef, state)
+            k_enc, k_init, k_pre, k_scan = jax.random.split(key, 4)
+            enc = m.encode(prior, k_enc, temperature=0.85)
+            b, tpv = enc.value.shape[0], enc.value.shape[1]
+            stacked = m.transformer.build_stacked_decode()
+            pre_cache = m.init_cache(b, tpv + 1, dtype=jnp.int8,
+                                     stacked=True)
+            out, pre_cache = m.step(enc.value, pre_cache,
+                                    jnp.asarray(0), k_pre,
+                                    push_init_state=True,
+                                    init_key=k_init, stacked=stacked,
+                                    **kw)
+            frame = out[:, -1:]
+            total = tpv + 1 + length
+            cache, flushed = m.transformer.hybrid_cache_from_prefill(
+                pre_cache, tpv + 1, total)
+
+            def step_fn(frame, cache, pos, flushed, k_i):
+                return m.step_hybrid(frame, stacked, cache, pos,
+                                     flushed, k_i, **kw)
+
+            frames, _ = _hybrid_scan_segments(
+                m, frame, cache, flushed, tpv + 1, length,
+                jax.random.split(k_scan, length), step_fn)
+            return frames.sum()
+
+        @jax.jit
+        def trunk_scan(state, prior, key):  # noqa: F811
+            m = nnx.merge(graphdef, state)
+            k_enc, k_init, k_pre, k_scan = jax.random.split(key, 4)
+            enc = m.encode(prior, k_enc, temperature=0.85)
+            b, tpv = enc.value.shape[0], enc.value.shape[1]
+            stacked = m.transformer.build_stacked_decode()
+            pre_cache = m.init_cache(b, tpv + 1, dtype=jnp.int8,
+                                     stacked=True)
+            out, pre_cache = m.step(enc.value, pre_cache,
+                                    jnp.asarray(0), k_pre,
+                                    push_init_state=True,
+                                    init_key=k_init, stacked=stacked,
+                                    **kw)
+            total = tpv + 1 + length
+            cache, flushed = m.transformer.hybrid_cache_from_prefill(
+                pre_cache, tpv + 1, total)
+            h0 = jnp.zeros((b, 1, 64), jnp.bfloat16)
+
+            def step_fn(h_prev, cache, pos, flushed, k_i):
+                h, cache = m.transformer.decode_hybrid(
+                    h_prev, stacked, cache, pos, flushed)
+                return h[..., :64].astype(jnp.bfloat16), cache
+
+            frames, _ = _hybrid_scan_segments(
+                m, h0, cache, flushed, tpv + 1, length,
+                jax.random.split(k_scan, length), step_fn)
+            return frames.astype(jnp.float32).sum()
 
     key = jax.random.PRNGKey(0)
 

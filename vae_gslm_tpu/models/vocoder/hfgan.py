@@ -16,7 +16,9 @@ the kernel for inference (matching ``hfgan.py:154-163``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -78,6 +80,20 @@ class WNConv1d(nnx.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups)
         return y + self.bias[...].astype(dt)
+
+    def packed_call(self, xp: Array, r: int) -> Array:
+        """The same conv on space-to-depth input (B, T/r, r*C).
+
+        Only for stride-1, group-1, SAME-padded convs (all the MRF
+        resblock convs and conv_post)."""
+        assert self.stride == 1 and self.groups == 1
+        dt = get_policy().compute_dtype
+        wp, pl, pr = _packed_kernel(self.kernel().astype(dt), r,
+                                    self.dilation)
+        y = jax.lax.conv_general_dilated(
+            xp.astype(dt), wp, (1,), [(pl, pr)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + jnp.tile(self.bias[...].astype(dt), r)
 
 
 class WNConvT1d(nnx.Module):
@@ -159,6 +175,57 @@ def leaky_relu(x, slope=LRELU_SLOPE):
     return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
+# ------------------------------------------------- packed small-C convs
+#
+# The generator's late stages have 8-32 channels: on TPU the channel
+# (lane) dim pads to 128, so XLA's conv runs at <10% utilisation and
+# the last three stages cost 85% of the vocoder (measured 49 of 57 ms
+# device time at B=8).  A space-to-depth transform fixes this exactly:
+# pack r = 128/C consecutive time steps into channels, (B, T, C) ->
+# (B, T/r, r*C), and scatter the original (k, C, Co) kernel into a
+# block kernel (k', r*C, r*Co) so the packed dense conv computes the
+# SAME contraction (two partial sums within float ulp).  Measured
+# 5.5x on the C=8 stage-5 resblock chain (PERFORMANCE.md round 3).
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_maps(k: int, d: int, r: int):
+    """Static scatter maps for packing a stride-1 SAME conv.
+
+    For output slot i in [0, r) and tap j in [0, k), the read offset
+    s = i + (j - (k-1)/2)*d lands in packed frame q = s // r at slot
+    m = s % r.  Returns (q_idx, m_idx, i_idx, j_idx, k', pad_l, pad_r)
+    with q_idx shifted to start at 0."""
+    c0 = (k - 1) // 2
+    ents = [(i, j, *divmod(i + (j - c0) * d, r))
+            for i in range(r) for j in range(k)]
+    qmin = min(q for _, _, q, _ in ents)
+    qmax = max(q for _, _, q, _ in ents)
+    q_idx = np.array([q - qmin for _, _, q, _ in ents])
+    m_idx = np.array([m for _, _, _, m in ents])
+    i_idx = np.array([i for i, _, _, _ in ents])
+    j_idx = np.array([j for _, j, _, _ in ents])
+    return q_idx, m_idx, i_idx, j_idx, qmax - qmin + 1, -qmin, qmax
+
+
+def _packed_kernel(w: Array, r: int, d: int):
+    """Scatter (k, C, Co) into the packed (k', r*C, r*Co) kernel."""
+    k, cin, cout = w.shape
+    q_idx, m_idx, i_idx, j_idx, kp, pl, pr = _pack_maps(k, d, r)
+    wp = jnp.zeros((kp, r, r, cin, cout), w.dtype)
+    wp = wp.at[q_idx, m_idx, i_idx].add(w[j_idx])
+    wp = wp.transpose(0, 1, 3, 2, 4).reshape(kp, r * cin, r * cout)
+    return wp, pl, pr
+
+
+def _pad_to_multiple(x: Array, r: int) -> Array:
+    t = x.shape[1]
+    pad = (-t) % r
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
 class ResBlock(nnx.Module):
     """MRF residual block (``hfgan.py:43-88``)."""
 
@@ -179,6 +246,20 @@ class ResBlock(nnx.Module):
             xt = c2(leaky_relu(c1(leaky_relu(x))))
             x = xt + x
         return x
+
+    def packed_call(self, xp: Array, r: int, mask) -> Array:
+        """__call__ on space-to-depth input; ``mask`` (or None) zeroes
+        the tail positions beyond the true length after each conv so
+        edge outputs match the unpacked SAME-padding zeros."""
+        for c1, c2 in zip(self.convs1, self.convs2):
+            h = c1.packed_call(leaky_relu(xp), r)
+            if mask is not None:
+                h = h * mask
+            h = c2.packed_call(leaky_relu(h), r)
+            if mask is not None:
+                h = h * mask
+            xp = h + xp
+        return xp
 
     def remove_weight_norm(self):
         for c in list(self.convs1) + list(self.convs2):
@@ -220,15 +301,65 @@ class Generator(nnx.Module):
     def __call__(self, mel: Masked) -> Masked:
         total = int(np.prod(self.hp.upsample_rates))
         lengths = resize_length(mel.lengths, float(total))
+        # Space-to-depth fast path for the small-channel late stages
+        # (measured 5.5x on the C=8 stage at B=8; see _pack_maps).
+        # Enabled for inference only — gated on remove_weight_norm(),
+        # the from_pretrained/inference contract — so training keeps
+        # the reference-shaped graph.
+        # Crossover measured on v5e (PERFORMANCE.md round 3): the
+        # unpacked small-C conv time is FLAT in batch (fixed-cost
+        # bound, ~12 ms for the C=8 chain at B=8..64) while the packed
+        # path scales linearly (2.2 ms at B=8, 9.5 ms at B=64), so
+        # packing wins below B~80 and loses at B=128.
+        pack_max_b = int(os.environ.get(
+            "VAE_GSLM_PACK_VOCODER_MAX_BATCH", "64"))
+        use_packed = (not self.conv_pre.weight_norm
+                      and mel.value.shape[0] <= pack_max_b
+                      and os.environ.get(
+                          "VAE_GSLM_NO_PACKED_VOCODER", "0") != "1")
         x = self.conv_pre(mel.value)
+        packed_tail = None  # (pack_r, t_true, t_pad) when x is packed
         for i in range(self.num_upsamples):
             x = self.ups[i](leaky_relu(x))
-            xs = None
-            for j in range(self.num_kernels):
-                r = self.resblocks[i * self.num_kernels + j](x)
-                xs = r if xs is None else xs + r
-            x = xs / self.num_kernels
-        x = self.conv_post(leaky_relu(x, 0.01))
+            ch = x.shape[-1]
+            pack_r = 128 // ch if use_packed and ch < 128 else 1
+            if pack_r > 1:
+                t_true = x.shape[1]
+                xp = _pad_to_multiple(x, pack_r)
+                t_pad = xp.shape[1]
+                mask = None
+                if t_pad != t_true:
+                    # zero the tail slots so edge outputs see the
+                    # unpacked SAME-padding zeros
+                    m = np.ones((1, t_pad // pack_r, pack_r * ch),
+                                np.float32)
+                    slot = np.arange(pack_r).repeat(ch)
+                    m[:, -1] = (slot < (t_true % pack_r))
+                    mask = jnp.asarray(m, x.dtype)
+                xp = xp.reshape(xp.shape[0], t_pad // pack_r,
+                                pack_r * ch)
+                xs = None
+                for j in range(self.num_kernels):
+                    rb = self.resblocks[i * self.num_kernels + j]
+                    r = rb.packed_call(xp, pack_r, mask)
+                    xs = r if xs is None else xs + r
+                x = xs / self.num_kernels
+                if i < self.num_upsamples - 1:
+                    x = x.reshape(x.shape[0], t_pad, ch)[:, :t_true]
+                else:
+                    packed_tail = (pack_r, t_true, t_pad)
+            else:
+                xs = None
+                for j in range(self.num_kernels):
+                    r = self.resblocks[i * self.num_kernels + j](x)
+                    xs = r if xs is None else xs + r
+                x = xs / self.num_kernels
+        if packed_tail is not None:
+            pack_r, t_true, t_pad = packed_tail
+            x = self.conv_post.packed_call(leaky_relu(x, 0.01), pack_r)
+            x = x.reshape(x.shape[0], t_pad, 1)[:, :t_true]
+        else:
+            x = self.conv_post(leaky_relu(x, 0.01))
         wave = jnp.tanh(x.astype(jnp.float32))[..., 0]
         return Masked(wave, lengths, 1)
 
