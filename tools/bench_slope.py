@@ -12,9 +12,17 @@ from flax import nnx
 from vae_gslm_tpu.hparams.hp import Hparams
 from vae_gslm_tpu.nn.transformer import TransformerLayerStack
 import importlib.util
-spec = importlib.util.spec_from_file_location(
-    "mega_abl", "/tmp/mega_abl.py")
-ma = importlib.util.module_from_spec(spec); spec.loader.exec_module(ma)
+# Phase-ablation needs a locally patched kernel copy (see PERFORMANCE
+# round-3 notes); fall back to the repo kernel (full phases only).
+try:
+    spec = importlib.util.spec_from_file_location(
+        "mega_abl", "/tmp/mega_abl.py")
+    ma = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ma)
+    HAVE_ABLATE = True
+except Exception:
+    from vae_gslm_tpu.ops import mega_step as ma
+    HAVE_ABLATE = False
 TAIL, BLK, fused_trunk_step = ma.TAIL, ma.BLK, ma.fused_trunk_step
 
 N1, N2 = 128, 384
@@ -106,10 +114,11 @@ def mk_mega(ablate, flushed, with_dus):
         def scan(weights, kc, vc, kcs, vcs, x0, kt, vt, kts, vts):
             def body(carry, i):
                 x, kt, vt, kts, vts = carry
+                kw = {"ablate": ablate} if HAVE_ABLATE else {}
                 xo, kn, vn, kns, vns = fused_trunk_step(
                     x, weights, kc, vc, kcs, vcs, kt, vt, kts, vts,
                     jnp.asarray(600, jnp.int32) + 0 * i, slopes,
-                    flushed=flushed, ablate=ablate)
+                    flushed=flushed, **kw)
                 if with_dus:
                     slot = jnp.asarray(64, jnp.int32) + 0 * i
                     kt = jax.lax.dynamic_update_slice(
@@ -133,14 +142,13 @@ def mk_mega(ablate, flushed, with_dus):
     return mkf
 
 
-for name, ab, fl, dus in [
-        ("empty shell, fl=0", "mm,attn", 0, False),
-        ("mm only,    fl=0", "attn", 0, False),
-        ("attn only,  fl=0", "mm", 0, False),
-        ("full,       fl=0", "", 0, False),
-        ("full,       fl=512", "", 512, False),
-        ("full+DUS,   fl=512", "", 512, True),
-]:
+CASES = ([("empty shell, fl=0", "mm,attn", 0, False),
+          ("mm only,    fl=0", "attn", 0, False),
+          ("attn only,  fl=0", "mm", 0, False)] if HAVE_ABLATE else [])
+CASES += [("full,       fl=0", "", 0, False),
+          ("full,       fl=512", "", 512, False),
+          ("full+DUS,   fl=512", "", 512, True)]
+for name, ab, fl, dus in CASES:
     t = slope(mk_mega(ab, fl, dus),
               weights, kc, vc, kcs, vcs, x0, kt, vt, kts, vts)
     print(f"mega {name}: {t*1e6:7.1f} us/step")
