@@ -1,6 +1,8 @@
-"""Single-call trunk-step mega-kernel (ops/mega_step.py): interpret-
-mode validation against (a) a plain-JAX replication of its exact math
-and (b) the production stacked-decode path at quantization tolerance."""
+"""Single-call trunk-step mega-kernel v2 (ops/mega_step.py):
+interpret-mode validation against a plain-JAX replication of its
+exact math, plus the staging-tier cache maintenance helpers
+(stage_append / merge_stage / flush_mega) driven over multi-step
+sequences."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,8 +11,10 @@ from flax import nnx
 
 from vae_gslm_tpu.hparams.hp import Hparams
 from vae_gslm_tpu.nn.transformer import TransformerLayerStack
-from vae_gslm_tpu.ops.mega_step import (BLK, TAIL, fused_trunk_step,
-                                        fused_trunk_step_reference)
+from vae_gslm_tpu.ops.mega_step import (BLK, STAGE, TAIL,
+                                        flush_mega, fused_trunk_step,
+                                        fused_trunk_step_reference,
+                                        merge_stage, stage_append)
 
 D, H, L = 256, 4, 2
 
@@ -32,48 +36,94 @@ layer:
     return m
 
 
-def _caches(b, tc, seed=1):
+def _cache(b, nb, seed=1):
     rng = np.random.RandomState(seed)
     dh = D // H
-    kc = jnp.asarray(rng.randint(-127, 128, (L, H, b, dh, tc)),
-                     jnp.int8)
-    vc = jnp.asarray(rng.randint(-127, 128, (L, H, b, dh, tc)),
-                     jnp.int8)
-    kcs = jnp.asarray(rng.rand(L, H, b, tc) * 0.02, jnp.float32)
-    vcs = jnp.asarray(rng.rand(L, H, b, tc) * 0.02, jnp.float32)
-    kt = jnp.asarray(rng.randint(-127, 128, (L, H, b, TAIL, dh)),
-                     jnp.int8)
-    vt = jnp.asarray(rng.randint(-127, 128, (L, H, b, TAIL, dh)),
-                     jnp.int8)
-    kts = jnp.asarray(rng.rand(L, H, b, TAIL) * 0.02, jnp.float32)
-    vts = jnp.asarray(rng.rand(L, H, b, TAIL) * 0.02, jnp.float32)
-    return kc, vc, kcs, vcs, kt, vt, kts, vts
+    return {
+        "k_cold": jnp.asarray(
+            rng.randint(-127, 128, (L, nb, H, b, dh, BLK)), jnp.int8),
+        "v_cold": jnp.asarray(
+            rng.randint(-127, 128, (L, nb, H, b, dh, BLK)), jnp.int8),
+        "kc_scale": jnp.asarray(
+            rng.rand(L, nb, H, b, BLK) * 0.02, jnp.float32),
+        "vc_scale": jnp.asarray(
+            rng.rand(L, nb, H, b, BLK) * 0.02, jnp.float32),
+        "k_tail": jnp.asarray(
+            rng.randint(-127, 128, (L, H, b, TAIL, dh)), jnp.int8),
+        "v_tail": jnp.asarray(
+            rng.randint(-127, 128, (L, H, b, TAIL, dh)), jnp.int8),
+        "kt_scale": jnp.asarray(
+            rng.rand(L, H, b, TAIL) * 0.02, jnp.float32),
+        "vt_scale": jnp.asarray(
+            rng.rand(L, H, b, TAIL) * 0.02, jnp.float32),
+        "k_stage": jnp.asarray(
+            rng.randn(L, STAGE, H, b, dh) * 0.3, jnp.bfloat16),
+        "v_stage": jnp.asarray(
+            rng.randn(L, STAGE, H, b, dh) * 0.3, jnp.bfloat16),
+    }
 
 
-@pytest.mark.parametrize("flushed,pos", [(0, 0), (0, 40),
-                                         (256, 300), (512, 600)])
+@pytest.mark.parametrize("flushed,pos", [
+    (0, 0),          # empty cache
+    (0, 5),          # stage-only (ns=5)
+    (0, 40),         # tail + stage
+    (128, 140),      # one cold block + tail + stage ns=4
+    (256, 300),      # two cold blocks
+    (256, 384),      # stage empty (ns=0), full tail
+])
 def test_mega_kernel_matches_reference(flushed, pos):
     m = _stack()
     weights = m.build_mega_decode()
     assert weights is not None
     b = 8
-    caches = _caches(b, 512)
+    cache = _cache(b, 2)
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(b, D) * 0.3, jnp.float32)
     slopes = m.rpe.slopes[...]
-    args = (x, weights) + caches + (jnp.asarray(pos), slopes)
-    outs_k = fused_trunk_step(*args, flushed=flushed, interpret=True)
-    outs_r = fused_trunk_step_reference(*args, flushed=flushed)
-    names = ("x", "k_new", "v_new", "kn_scale", "vn_scale")
-    for name, a, bb in zip(names, outs_k, outs_r):
-        a, bb = np.asarray(a), np.asarray(bb)
-        if a.dtype == np.int8:
-            # quantized rows: identical up to round-at-.5 jitter
-            assert (np.abs(a.astype(np.int32)
-                           - bb.astype(np.int32)) <= 1).mean() > 0.999
-        else:
-            np.testing.assert_allclose(a, bb, rtol=2e-3, atol=2e-4,
-                                       err_msg=name)
+    outs_k = fused_trunk_step(x, weights, cache, jnp.asarray(pos),
+                              slopes, flushed=flushed, interpret=True)
+    outs_r = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_stage_merge_flush_roundtrip():
+    """Drive stage_append/merge_stage/flush_mega over 2*STAGE rows
+    and check the rows land where the kernel's masks expect them."""
+    b, dh = 2, D // H
+    cache = _cache(b, 2, seed=7)
+    flushed = 128
+    rng = np.random.RandomState(9)
+    rows = jnp.asarray(rng.randn(2 * STAGE, L, H, b, dh) * 0.5,
+                       jnp.bfloat16)
+    pos0 = flushed + TAIL - 2 * STAGE   # last 2 groups of the tail
+    rel0 = pos0 - flushed
+    for j in range(2 * STAGE):
+        cache = stage_append(cache, rows[j], rows[j],
+                             (rel0 + j) % STAGE)
+        if (rel0 + j) % STAGE == STAGE - 1:
+            cache = merge_stage(cache, ((rel0 + j) // STAGE) * STAGE)
+    # both groups quantized into the tail at the right slots
+    got = np.asarray(cache["k_tail"][:, :, :, rel0:, :],
+                     np.float32)
+    sc = np.asarray(cache["kt_scale"][:, :, :, rel0:], np.float32)
+    want = np.asarray(jnp.transpose(rows, (1, 2, 3, 0, 4)),
+                      np.float32)
+    # int8 per-row quantization: |err| <= scale/2 (absolute, not
+    # relative) — bound by the largest row scale
+    np.testing.assert_allclose(got * sc[..., None], want,
+                               atol=float(sc.max()) * 0.51 + 1e-3)
+    # flush moves the tail into cold block 1 (time-minor)
+    cache2 = flush_mega(cache, flushed)
+    np.testing.assert_array_equal(
+        np.asarray(cache2["k_cold"][:, 1]),
+        np.asarray(jnp.swapaxes(cache["k_tail"], 3, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(cache2["kc_scale"][:, 1]),
+        np.asarray(cache["kt_scale"]))
 
 
 def test_build_mega_decode_requires_int8():

@@ -1,37 +1,52 @@
 """Pallas TPU mega-kernel: the ENTIRE 16-layer trunk AR step in ONE
-kernel call.
+kernel call (v2 — staged appends, block-major cold reads).
 
-Motivation (PERFORMANCE.md round 2): a trivial Pallas call costs
-~16.5 us on this platform and XLA ops ~3-5 us, so at serving batch 8
-any per-op or per-layer-kernel decode pays 0.3-1 ms/step of pure
-fixed cost against a ~0.45 ms data floor (int8 weights ~200 MB +
-int8 KV prefix ~140 MB).  One kernel per step pays the fixed cost
-once and streams everything back-to-back:
+Motivation (PERFORMANCE.md round-3 slope-timed ladder): at serving
+batch 8 the v1 kernel's cost decomposed into a 344 us streaming shell
+(already at the ~733 GB/s HBM roofline), ~156 us of B=8 compute,
++230 us of cold-prefix reads (vs a 168 us bandwidth floor for the
+strided flat layout) and +118 us of caller-side tail-append
+``dynamic_update_slice`` (XLA rewrites all four tail arrays every
+step because the kernel consumed them).  v2 removes the two
+non-roofline items:
+
+  * **8-row bf16 staging tier.** The kernel emits the current step's
+    K/V rows in bf16; the caller appends them to a tiny
+    ``(L, 8, H, B, Dh)`` staging buffer (a ~2 MB copy instead of
+    ~50 MB) and only every 8 steps quantizes the staged rows into the
+    int8 tail in one amortized update.  In-kernel attention gains a
+    third tier — cold (int8 blocks) / tail (int8 + per-row scales) /
+    stage (bf16) / current token — with the tail masked at
+    ``stage_base`` so tiers never overlap.
+  * **Block-major cold cache** ``(L, NB, H, B, Dh, 128)``: each
+    (layer, block) read is one contiguous 1 MB DMA instead of
+    H*B*Dh strided 128-byte runs, and the first block's DMA is
+    started one grid phase early (during the FFN phases of the
+    previous layer) to hide its latency.
+
+Kernel structure (unchanged from v1 where it was already at
+roofline):
 
   grid = (num_layers, 4): 4 phases per layer —
     p 0   qkv        (h1 = RMS(x); qkv = h1 @ Wqkv)
-    p 1   attention  (cold cache DMA loop + tail + self)
+    p 1   attention  (cold DMA loop + tail + stage + self)
                      + out-projection, residual
     p 2   FFN up     (h2 = RMS(x); g = GELU(h2 @ W1))
     p 3   FFN down   (x += g @ W2)
 
-  Weights are int8 (per-out-column scales) stacked per layer; each
-  phase's BlockSpec streams one whole matrix (3-4 MB int8),
-  double-buffered by the Pallas pipeline.  The residual stream
-  x (B, D) lives in VMEM scratch across all grid steps.  (A 12-phase
-  1 MB-chunk variant measured ~230 us/step slower: per-grid-step
-  overhead dominates at B=8.)
+Weights are int8 (per-out-column scales) stacked per layer; each
+phase's BlockSpec streams one whole matrix (1-4 MB int8),
+double-buffered by the Pallas pipeline.  The residual stream x (B, D)
+lives in VMEM scratch across all grid steps.  Attention numerics:
+s8 x s8 MXU for the cold/tail q-K and prob-V products (f32 only on
+(B*H, T) logits), bf16 VPU for the 8-row stage tier, f32 for the
+current token; matmuls run bf16 (int8 weights upconverted chunk-wise
+in VMEM).
 
-KV cache is the hybrid cold/tail layout of ``ops/fused_decode.py``:
-time-minor int8 cold prefix (manual double-buffered DMA over a STATIC
-``flushed`` bound) + head-major 128-token tail (BlockSpec input).
-The kernel emits each layer's quantized new K/V row + scales as
-outputs; the caller appends them to the tail (cheap sublane-dim
-``dynamic_update_slice``) and periodically flushes tail -> cold.
-
-Attention numerics match ``ops/fused_decode.py``: s8 x s8 MXU for
-both the q-K and prob-V products, f32 only on (B*H, BLK) logits;
-matmuls run bf16 (weights upconverted chunk-wise in VMEM).
+Replaces the reference's cuDNN/torch per-op decode
+(reference ``models/transformer.py`` decode path +
+``trainers/speech/sampler.py:50-62`` AR loop) with a one-call-per-
+step design; see ``inference/speech/sampler.py`` for the wiring.
 """
 from __future__ import annotations
 
@@ -60,8 +75,11 @@ def _erf(x):
 def _gelu_exact(x):
     """erf-form GELU (torch nn.GELU default)."""
     return 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
-BLK = 256
+
+
+BLK = 128
 TAIL = 128
+STAGE = 8
 NEG_INF = -1e30
 NPHASE = 4
 
@@ -71,9 +89,10 @@ def _kernel(scalars_ref,
             sq_ref, so_ref, s1_ref, s2_ref, n1_ref, n3_ref,
             bq_ref, bo_ref, b1_ref, b2_ref,
             slopes_ref, ktail_ref, vtail_ref, kts_ref, vts_ref,
+            kstage_ref, vstage_ref,
             k_hbm, v_hbm, kcs_hbm, vcs_hbm,
-            xo_ref, kn_ref, vn_ref, kns_ref, vns_ref,
-            x_s, h_s, qkv_s, g_s,
+            xo_ref, kn_ref, vn_ref,
+            x_s, qkv_s, g_s,
             kb, vb, ksb, vsb, sems,
             *, nlayers: int, nheads: int, head_dim: int, dim: int,
             flushed: int, batch: int):
@@ -90,6 +109,11 @@ def _kernel(scalars_ref,
     gh = b * h
     nblk = flushed // BLK
     scale = 1.0 / math.sqrt(dh)
+    # staging bookkeeping: rows [stage_base, pos) live in the bf16
+    # stage buffer; the int8 tail holds [flushed, stage_base).
+    rel = pos - flushed
+    ns = jax.lax.rem(rel, STAGE)
+    stage_base = pos - ns
 
     def rms(x, nscale):
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
@@ -102,10 +126,29 @@ def _kernel(scalars_ref,
                     preferred_element_type=jnp.float32)
         return y * scales
 
-    # ------------------------------------------------ p 0..2: qkv
+    def dma(layer, blk):
+        """Cold block ``blk`` of ``layer`` -> slot ``blk`` (one slot
+        per block: every block is prefetched during the PREVIOUS
+        layer's FFN phases so the attention phase only waits)."""
+        return (
+            pltpu.make_async_copy(k_hbm.at[layer, blk],
+                                  kb.at[blk], sems.at[0, blk]),
+            pltpu.make_async_copy(v_hbm.at[layer, blk],
+                                  vb.at[blk], sems.at[1, blk]),
+            pltpu.make_async_copy(kcs_hbm.at[layer, blk],
+                                  ksb.at[blk], sems.at[2, blk]),
+            pltpu.make_async_copy(vcs_hbm.at[layer, blk],
+                                  vsb.at[blk], sems.at[3, blk]),
+        )
+
+    # ------------------------------------------------ p 0: qkv
     @pl.when(jnp.logical_and(li == 0, p == 0))
     def _():
         x_s[...] = x_ref[...].astype(jnp.float32)
+        # layer 0's cold blocks: start during the qkv phase
+        for blk in range(nblk):
+            for c in dma(0, blk):
+                c.start()
 
     @pl.when(p == 0)
     def _():
@@ -133,18 +176,9 @@ def _kernel(scalars_ref,
         q_scale = jnp.maximum(q_amax, 1e-8) / 127.0
         q8 = jnp.round(q / q_scale).astype(jnp.int8)
 
-        # quantize + emit the new K/V row (appended to the tail by
-        # the caller; it feeds THIS step's softmax via the self term)
-        k_amax = jnp.max(jnp.abs(k_cur), axis=2, keepdims=True)
-        k_sc = jnp.maximum(k_amax, 1e-8) / 127.0
-        v_amax = jnp.max(jnp.abs(v_cur), axis=2, keepdims=True)
-        v_sc = jnp.maximum(v_amax, 1e-8) / 127.0
-        kn_ref[...] = jnp.round(k_cur / k_sc).astype(jnp.int8).reshape(
-            1, h, b, dh)
-        vn_ref[...] = jnp.round(v_cur / v_sc).astype(jnp.int8).reshape(
-            1, h, b, dh)
-        kns_ref[...] = k_sc.reshape(1, h, b)
-        vns_ref[...] = v_sc.reshape(1, h, b)
+        # emit the new K/V row in bf16; the caller stages it
+        kn_ref[...] = k_cur.astype(jnp.bfloat16).reshape(1, h, b, dh)
+        vn_ref[...] = v_cur.astype(jnp.bfloat16).reshape(1, h, b, dh)
 
         def merge(m, l, acc, s, v_fn):
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
@@ -163,55 +197,29 @@ def _kernel(scalars_ref,
                 preferred_element_type=jnp.int32)
             return av.astype(jnp.float32) * u_scale
 
-        def dma(slot, blk):
-            sl = pl.ds(blk * BLK, BLK)
-            return (
-                pltpu.make_async_copy(k_hbm.at[li, :, :, :, sl],
-                                      kb.at[slot], sems.at[0, slot]),
-                pltpu.make_async_copy(v_hbm.at[li, :, :, :, sl],
-                                      vb.at[slot], sems.at[1, slot]),
-                pltpu.make_async_copy(kcs_hbm.at[li, :, :, sl],
-                                      ksb.at[slot], sems.at[2, slot]),
-                pltpu.make_async_copy(vcs_hbm.at[li, :, :, sl],
-                                      vsb.at[slot], sems.at[3, slot]),
-            )
-
-        if nblk > 0:
-            for c in dma(0, 0):
-                c.start()
-
-        def step(i, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < nblk)
-            def _():
-                for c in dma(nxt, i + 1):
-                    c.start()
-
-            for c in dma(slot, i):
+        m0 = jnp.full((gh, 1, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((gh, 1, 1), jnp.float32)
+        acc0 = jnp.zeros((gh, 1, dh), jnp.float32)
+        m, l, acc = m0, l0, acc0
+        for i in range(nblk):     # all blocks already in flight
+            for c in dma(li, i):
                 c.wait()
-            k8 = kb[slot].reshape(gh, dh, BLK)
+            k8 = kb[i].reshape(gh, dh, BLK)
             s_i32 = jax.lax.dot_general(
                 q8, k8, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)
             s = (s_i32.astype(jnp.float32)
-                 * (q_scale * scale)) * ksb[slot].reshape(gh, 1, BLK)
+                 * (q_scale * scale)) * ksb[i].reshape(gh, 1, BLK)
             t_idx = (i * BLK + jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, BLK), 2))
             s = s + slopes * jnp.abs(t_idx - pos).astype(jnp.float32)
-            vsl = vsb[slot].reshape(gh, 1, BLK)
-            vbl = vb[slot].reshape(gh, dh, BLK)
-            return merge(m, l, acc, s,
-                         lambda e: av_i8(e, vsl, vbl, 2))
+            vsl = vsb[i].reshape(gh, 1, BLK)
+            vbl = vb[i].reshape(gh, dh, BLK)
+            m, l, acc = merge(m, l, acc, s,
+                              lambda e: av_i8(e, vsl, vbl, 2))
 
-        m0 = jnp.full((gh, 1, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((gh, 1, 1), jnp.float32)
-        acc0 = jnp.zeros((gh, 1, dh), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nblk, step, (m0, l0, acc0))
-
-        # tail: positions [flushed, flushed + TAIL)
+        # tail: positions [flushed, flushed + TAIL), valid below
+        # stage_base (rows >= stage_base are served by the stage tier)
         kt8 = ktail_ref[...].reshape(gh, TAIL, dh)
         s_i32 = jax.lax.dot_general(
             q8, kt8, (((2,), (2,)), ((0,), (0,))),
@@ -221,11 +229,32 @@ def _kernel(scalars_ref,
         t_idx = (flushed + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, TAIL), 2))
         s = s + slopes * jnp.abs(t_idx - pos).astype(jnp.float32)
-        s = jnp.where(t_idx < pos, s, NEG_INF)
+        s = jnp.where(t_idx < stage_base, s, NEG_INF)
         vt8 = vtail_ref[...].reshape(gh, TAIL, dh)
         vts = vts_ref[...].reshape(gh, 1, TAIL)
         m, l, acc = merge(m, l, acc, s,
                           lambda e: av_i8(e, vts, vt8, 1))
+
+        # stage: bf16 rows [stage_base, pos) — VPU tier (8 rows)
+        kst = kstage_ref[...].reshape(STAGE, gh, dh).astype(
+            jnp.float32)
+        vst = vstage_ref[...].reshape(STAGE, gh, dh).astype(
+            jnp.float32)
+        q1 = q.reshape(1, gh, dh)
+        s_st = jnp.sum(q1 * kst, axis=2) * scale      # (STAGE, GH)
+        s_st = jnp.transpose(s_st).reshape(gh, 1, STAGE)
+        j_idx = (stage_base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, STAGE), 2))
+        s_st = s_st + slopes * jnp.abs(j_idx - pos).astype(
+            jnp.float32)
+        s_st = jnp.where(j_idx < pos, s_st, NEG_INF)
+
+        def av_stage(e):
+            e_t = jnp.transpose(e.reshape(gh, STAGE))   # (STAGE, GH)
+            return jnp.sum(e_t[:, :, None] * vst,
+                           axis=0).reshape(gh, 1, dh)
+
+        m, l, acc = merge(m, l, acc, s_st, av_stage)
 
         # current token
         s_self = jnp.sum(q * k_cur, axis=2, keepdims=True) * scale
@@ -250,6 +279,14 @@ def _kernel(scalars_ref,
         h2 = rms(x_s[...], n3_ref[li])
         g_s[...] = _gelu_exact(mm(h2, w1_ref, s1_ref[li], d, 4 * d)
                                + b1_ref[li])
+        if nblk > 0:
+            # prefetch ALL of the next layer's cold blocks during the
+            # FFN phases — the attention phase then only waits
+            @pl.when(li + 1 < nlayers)
+            def _():
+                for blk in range(nblk):
+                    for c in dma(li + 1, blk):
+                        c.start()
 
     # ------------------------------------------------- p 3: FFN down
     @pl.when(p == 3)
@@ -264,39 +301,61 @@ def _kernel(scalars_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("flushed", "interpret"))
-def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
-                     kc_scale: Array, vc_scale: Array,
-                     k_tail: Array, v_tail: Array,
-                     kt_scale: Array, vt_scale: Array,
+def fused_trunk_step(x: Array, weights, cache: dict,
                      pos: Array, slopes: Array, flushed: int,
                      interpret: bool = False):
-    """One full trunk AR step.
+    """One full trunk AR step over the mega cache.
 
     x: (B, D) residual stream; ``weights`` is the dict from
     ``TransformerLayerStack.build_mega_decode`` (int8 chunk arrays +
-    scales + norm scales); caches as in ``ops/fused_decode.py``.
-    Returns (x_out (B, D) f32, k_new (L, B, H, Dh) i8, v_new i8,
-    k_new_scale (L, B, H) f32, v_new_scale f32)."""
+    scales + norm scales); ``cache`` holds
+      k_cold/v_cold   (L, NB, H, B, Dh, BLK) int8   block-major
+      kc_scale/vc_scale (L, NB, H, B, BLK) f32
+      k_tail/v_tail   (L, H, B, TAIL, Dh) int8
+      kt_scale/vt_scale (L, H, B, TAIL) f32
+      k_stage/v_stage (L, STAGE, H, B, Dh) bf16
+    Returns (x_out (B, D) f32, k_new (L, H, B, Dh) bf16, v_new).
+    The caller appends k_new/v_new into the stage buffer at slot
+    ``(pos - flushed) % STAGE`` and merges the stage into the tail
+    every STAGE steps (``merge_stage``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, d = x.shape
     nl = weights["wq"].shape[0]
-    h = k_tail.shape[1]
+    h = cache["k_tail"].shape[1]
     dh = d // h
     assert flushed % BLK == 0
+    nslot = max(flushed // BLK, 1)   # one VMEM slot per cold block
 
     full = lambda a: pl.BlockSpec(a.shape, lambda li, p, s:
                                   (0,) * a.ndim)
+
+    def at_phase(use_p):
+        """Index map fetching the layer's block one phase BEFORE it
+        is used at phase ``use_p``: all four weight matrices fetched
+        in one burst (index map (li,..)) stall the pipeline for
+        ~16 us at each layer boundary; spreading them across phases
+        overlaps each fetch with the previous phase's compute."""
+        def f(li, p, s):
+            return jnp.maximum(
+                (li * NPHASE + p - use_p) // NPHASE, 0)
+        return f
+
+    i_q, i_att, i_up, i_dn = (at_phase(u) for u in range(NPHASE))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nl, NPHASE),
         in_specs=[
             full(x),
-            pl.BlockSpec((1, d, 3 * d), lambda li, p, s: (li, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda li, p, s: (li, 0, 0)),
-            pl.BlockSpec((1, d, 4 * d), lambda li, p, s: (li, 0, 0)),
-            pl.BlockSpec((1, 4 * d, d), lambda li, p, s: (li, 0, 0)),
+            pl.BlockSpec((1, d, 3 * d),
+                         lambda li, p, s: (i_q(li, p, s), 0, 0)),
+            pl.BlockSpec((1, d, d),
+                         lambda li, p, s: (i_att(li, p, s), 0, 0)),
+            pl.BlockSpec((1, d, 4 * d),
+                         lambda li, p, s: (i_up(li, p, s), 0, 0)),
+            pl.BlockSpec((1, 4 * d, d),
+                         lambda li, p, s: (i_dn(li, p, s), 0, 0)),
             full(weights["sq"]), full(weights["so"]),
             full(weights["s1"]), full(weights["s2"]),
             full(weights["n1"]), full(weights["n3"]),
@@ -304,13 +363,21 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
             full(weights["b1"]), full(weights["b2"]),
             pl.BlockSpec((h, 1), lambda li, p, s: (0, 0)),
             pl.BlockSpec((1, h, b, TAIL, dh),
-                         lambda li, p, s: (li, 0, 0, 0, 0)),
+                         lambda li, p, s: (i_att(li, p, s),
+                                           0, 0, 0, 0)),
             pl.BlockSpec((1, h, b, TAIL, dh),
-                         lambda li, p, s: (li, 0, 0, 0, 0)),
+                         lambda li, p, s: (i_att(li, p, s),
+                                           0, 0, 0, 0)),
             pl.BlockSpec((1, h, b, TAIL),
-                         lambda li, p, s: (li, 0, 0, 0)),
+                         lambda li, p, s: (i_att(li, p, s), 0, 0, 0)),
             pl.BlockSpec((1, h, b, TAIL),
-                         lambda li, p, s: (li, 0, 0, 0)),
+                         lambda li, p, s: (i_att(li, p, s), 0, 0, 0)),
+            pl.BlockSpec((1, STAGE, h, b, dh),
+                         lambda li, p, s: (i_att(li, p, s),
+                                           0, 0, 0, 0)),
+            pl.BlockSpec((1, STAGE, h, b, dh),
+                         lambda li, p, s: (i_att(li, p, s),
+                                           0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -320,19 +387,16 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
             pl.BlockSpec((b, d), lambda li, p, s: (0, 0)),
             pl.BlockSpec((1, h, b, dh), lambda li, p, s: (li, 0, 0, 0)),
             pl.BlockSpec((1, h, b, dh), lambda li, p, s: (li, 0, 0, 0)),
-            pl.BlockSpec((1, h, b), lambda li, p, s: (li, 0, 0)),
-            pl.BlockSpec((1, h, b), lambda li, p, s: (li, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, d), jnp.float32),          # x_s
-            pltpu.VMEM((b, d), jnp.float32),          # h_s
             pltpu.VMEM((b, 3 * d), jnp.float32),      # qkv_s
             pltpu.VMEM((b, 4 * d), jnp.float32),      # g_s
-            pltpu.VMEM((2, h, b, dh, BLK), jnp.int8),  # kb
-            pltpu.VMEM((2, h, b, dh, BLK), jnp.int8),  # vb
-            pltpu.VMEM((2, h, b, BLK), jnp.float32),  # ksb
-            pltpu.VMEM((2, h, b, BLK), jnp.float32),  # vsb
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.VMEM((nslot, h, b, dh, BLK), jnp.int8),  # kb
+            pltpu.VMEM((nslot, h, b, dh, BLK), jnp.int8),  # vb
+            pltpu.VMEM((nslot, h, b, BLK), jnp.float32),  # ksb
+            pltpu.VMEM((nslot, h, b, BLK), jnp.float32),  # vsb
+            pltpu.SemaphoreType.DMA((4, nslot)),
         ],
     )
     outs = pl.pallas_call(
@@ -341,10 +405,8 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((nl, h, b, dh), jnp.int8),
-            jax.ShapeDtypeStruct((nl, h, b, dh), jnp.int8),
-            jax.ShapeDtypeStruct((nl, h, b), jnp.float32),
-            jax.ShapeDtypeStruct((nl, h, b), jnp.float32),
+            jax.ShapeDtypeStruct((nl, h, b, dh), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nl, h, b, dh), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -357,31 +419,99 @@ def fused_trunk_step(x: Array, weights, k_cold: Array, v_cold: Array,
       weights["n1"], weights["n3"],
       weights["bq"], weights["bo"], weights["b1"], weights["b2"],
       slopes.astype(jnp.float32)[:, None],
-      k_tail, v_tail,
-      kt_scale.astype(jnp.float32), vt_scale.astype(jnp.float32),
-      k_cold, v_cold,
-      kc_scale.astype(jnp.float32), vc_scale.astype(jnp.float32))
+      cache["k_tail"], cache["v_tail"],
+      cache["kt_scale"].astype(jnp.float32),
+      cache["vt_scale"].astype(jnp.float32),
+      cache["k_stage"], cache["v_stage"],
+      cache["k_cold"], cache["v_cold"],
+      cache["kc_scale"].astype(jnp.float32),
+      cache["vc_scale"].astype(jnp.float32))
     return tuple(outs)
 
 
-def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
-                               vc_scale, k_tail, v_tail, kt_scale,
-                               vt_scale, pos, slopes, flushed):
+def stage_append(cache: dict, k_new: Array, v_new: Array,
+                 slot) -> dict:
+    """Append the step's bf16 K/V rows ((L, H, B, Dh)) to stage slot
+    ``slot`` — a ~2 MB update instead of the v1 full-tail rewrite."""
+    cache = dict(cache)
+    cache["k_stage"] = jax.lax.dynamic_update_slice(
+        cache["k_stage"], k_new[:, None], (0, slot, 0, 0, 0))
+    cache["v_stage"] = jax.lax.dynamic_update_slice(
+        cache["v_stage"], v_new[:, None], (0, slot, 0, 0, 0))
+    return cache
+
+
+def merge_stage(cache: dict, tail_slot: int) -> dict:
+    """Quantize the 8 staged rows and write them into the int8 tail
+    at ``tail_slot`` (static, multiple of STAGE).  Runs once every
+    STAGE steps."""
+    ks = cache["k_stage"].astype(jnp.float32)   # (L, S, H, B, Dh)
+    vs = cache["v_stage"].astype(jnp.float32)
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        return (jnp.round(x / sc).astype(jnp.int8),
+                sc[..., 0].astype(jnp.float32))
+
+    k8, ksc = quant(ks)
+    v8, vsc = quant(vs)
+    # (L, S, H, B, Dh) -> (L, H, B, S, Dh)
+    perm = (0, 2, 3, 1, 4)
+    cache = dict(cache)
+    cache["k_tail"] = jax.lax.dynamic_update_slice(
+        cache["k_tail"], jnp.transpose(k8, perm),
+        (0, 0, 0, tail_slot, 0))
+    cache["v_tail"] = jax.lax.dynamic_update_slice(
+        cache["v_tail"], jnp.transpose(v8, perm),
+        (0, 0, 0, tail_slot, 0))
+    cache["kt_scale"] = jax.lax.dynamic_update_slice(
+        cache["kt_scale"], jnp.transpose(ksc, (0, 2, 3, 1)),
+        (0, 0, 0, tail_slot))
+    cache["vt_scale"] = jax.lax.dynamic_update_slice(
+        cache["vt_scale"], jnp.transpose(vsc, (0, 2, 3, 1)),
+        (0, 0, 0, tail_slot))
+    return cache
+
+
+def flush_mega(cache: dict, flushed_prev: int) -> dict:
+    """Move the full int8 tail (one BLK-token block) into cold block
+    ``flushed_prev // BLK`` — one structured write per 128 steps."""
+    nb = flushed_prev // BLK
+    cache = dict(cache)
+    # tail (L, H, B, T, Dh) -> cold block (H, B, Dh, T)
+    cache["k_cold"] = cache["k_cold"].at[:, nb].set(
+        jnp.swapaxes(cache["k_tail"], 3, 4))
+    cache["v_cold"] = cache["v_cold"].at[:, nb].set(
+        jnp.swapaxes(cache["v_tail"], 3, 4))
+    cache["kc_scale"] = cache["kc_scale"].at[:, nb].set(
+        cache["kt_scale"])
+    cache["vc_scale"] = cache["vc_scale"].at[:, nb].set(
+        cache["vt_scale"])
+    return cache
+
+
+def fused_trunk_step_reference(x, weights, cache, pos, slopes,
+                               flushed):
     """Plain-JAX replication of the kernel's exact math (bf16 matmuls,
-    int8 QK/AV with per-block u-quantization) for validation."""
+    int8 QK/AV with per-block u-quantization, bf16 stage tier) for
+    validation."""
     b, d = x.shape
     nl = weights["wq"].shape[0]
-    h = k_tail.shape[1]
+    h = cache["k_tail"].shape[1]
     dh = d // h
     gh = b * h
     scale = 1.0 / math.sqrt(dh)
     slopes_f = jnp.broadcast_to(
         slopes.astype(jnp.float32).reshape(h, 1, 1),
         (h, b, 1)).reshape(gh, 1, 1)
+    rel = pos - flushed
+    ns = rel % STAGE
+    stage_base = pos - ns
 
-    def rms(xx, ns):
+    def rms(xx, nsc):
         ms = jnp.mean(jnp.square(xx), axis=-1, keepdims=True)
-        return xx * jax.lax.rsqrt(ms + 1e-6) * ns
+        return xx * jax.lax.rsqrt(ms + 1e-6) * nsc
 
     def mm(xin, w8, scales):
         w = w8.astype(jnp.bfloat16)
@@ -407,11 +537,13 @@ def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
         return av.astype(jnp.float32) * u_scale
 
     x = x.astype(jnp.float32)
-    k_news, v_news, kn_scales, vn_scales = [], [], [], []
+    k_news, v_news = [], []
+    nblk = flushed // BLK
     for li in range(nl):
         h1 = rms(x, weights["n1"][li])
         qkv = (mm(h1, weights["wq"][li], weights["sq"][li])
                + weights["bq"][li])
+
         def heads(off):
             return jnp.stack(
                 [qkv[:, off + h0 * dh: off + (h0 + 1) * dh]
@@ -423,48 +555,58 @@ def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
         q_amax = jnp.max(jnp.abs(q), axis=2, keepdims=True)
         q_scale = jnp.maximum(q_amax, 1e-8) / 127.0
         q8 = jnp.round(q / q_scale).astype(jnp.int8)
-        k_amax = jnp.max(jnp.abs(k_cur), axis=2, keepdims=True)
-        k_sc = jnp.maximum(k_amax, 1e-8) / 127.0
-        v_amax = jnp.max(jnp.abs(v_cur), axis=2, keepdims=True)
-        v_sc = jnp.maximum(v_amax, 1e-8) / 127.0
-        k_news.append(jnp.round(k_cur / k_sc).astype(
-            jnp.int8).reshape(h, b, dh))
-        v_news.append(jnp.round(v_cur / v_sc).astype(
-            jnp.int8).reshape(h, b, dh))
-        kn_scales.append(k_sc.reshape(h, b))
-        vn_scales.append(v_sc.reshape(h, b))
+        k_news.append(k_cur.astype(jnp.bfloat16).reshape(h, b, dh))
+        v_news.append(v_cur.astype(jnp.bfloat16).reshape(h, b, dh))
 
         m = jnp.full((gh, 1, 1), NEG_INF, jnp.float32)
         l = jnp.zeros((gh, 1, 1), jnp.float32)
         acc = jnp.zeros((gh, 1, dh), jnp.float32)
-        for i in range(flushed // BLK):
-            sl = slice(i * BLK, (i + 1) * BLK)
-            k8 = k_cold[li][:, :, :, sl].reshape(gh, dh, BLK)
+        for i in range(nblk):
+            k8 = cache["k_cold"][li, i].reshape(gh, dh, BLK)
             s_i32 = jax.lax.dot_general(
                 q8, k8, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)
             s = (s_i32.astype(jnp.float32) * (q_scale * scale)
-                 * kc_scale[li][:, :, sl].reshape(gh, 1, BLK))
+                 * cache["kc_scale"][li, i].reshape(gh, 1, BLK))
             t_idx = i * BLK + jnp.arange(BLK).reshape(1, 1, BLK)
             s = s + slopes_f * jnp.abs(t_idx - pos).astype(jnp.float32)
-            vsl = vc_scale[li][:, :, sl].reshape(gh, 1, BLK)
-            vbl = v_cold[li][:, :, :, sl].reshape(gh, dh, BLK)
+            vsl = cache["vc_scale"][li, i].reshape(gh, 1, BLK)
+            vbl = cache["v_cold"][li, i].reshape(gh, dh, BLK)
             m, l, acc = merge(m, l, acc, s,
                               lambda e: av_i8(e, vsl, vbl, 2))
 
-        kt8 = k_tail[li].reshape(gh, TAIL, dh)
+        kt8 = cache["k_tail"][li].reshape(gh, TAIL, dh)
         s_i32 = jax.lax.dot_general(
             q8, kt8, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         s = (s_i32.astype(jnp.float32) * (q_scale * scale)
-             * kt_scale[li].reshape(gh, 1, TAIL))
+             * cache["kt_scale"][li].reshape(gh, 1, TAIL))
         t_idx = flushed + jnp.arange(TAIL).reshape(1, 1, TAIL)
         s = s + slopes_f * jnp.abs(t_idx - pos).astype(jnp.float32)
-        s = jnp.where(t_idx < pos, s, NEG_INF)
-        vt8 = v_tail[li].reshape(gh, TAIL, dh)
-        vts = vt_scale[li].reshape(gh, 1, TAIL)
+        s = jnp.where(t_idx < stage_base, s, NEG_INF)
+        vt8 = cache["v_tail"][li].reshape(gh, TAIL, dh)
+        vts = cache["vt_scale"][li].reshape(gh, 1, TAIL)
         m, l, acc = merge(m, l, acc, s,
                           lambda e: av_i8(e, vts, vt8, 1))
+
+        kst = cache["k_stage"][li].reshape(
+            STAGE, gh, dh).astype(jnp.float32)
+        vst = cache["v_stage"][li].reshape(
+            STAGE, gh, dh).astype(jnp.float32)
+        q1 = q.reshape(1, gh, dh)
+        s_st = jnp.sum(q1 * kst, axis=2) * scale
+        s_st = jnp.transpose(s_st).reshape(gh, 1, STAGE)
+        j_idx = stage_base + jnp.arange(STAGE).reshape(1, 1, STAGE)
+        s_st = s_st + slopes_f * jnp.abs(j_idx - pos).astype(
+            jnp.float32)
+        s_st = jnp.where(j_idx < pos, s_st, NEG_INF)
+
+        def av_stage(e):
+            e_t = jnp.transpose(e.reshape(gh, STAGE))
+            return jnp.sum(e_t[:, :, None] * vst,
+                           axis=0).reshape(gh, 1, dh)
+
+        m, l, acc = merge(m, l, acc, s_st, av_stage)
 
         s_self = jnp.sum(q * k_cur, axis=2, keepdims=True) * scale
         m_f = jnp.maximum(m, s_self)
@@ -485,6 +627,4 @@ def fused_trunk_step_reference(x, weights, k_cold, v_cold, kc_scale,
                         + weights["b1"][li])
         x = (x + mm(g, weights["w2"][li], weights["s2"][li])
              + weights["b2"][li])
-    return (x,
-            jnp.stack(k_news), jnp.stack(v_news),
-            jnp.stack(kn_scales), jnp.stack(vn_scales))
+    return x, jnp.stack(k_news), jnp.stack(v_news)
