@@ -4,6 +4,7 @@ teacher-forced prior means position-by-position."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from vae_gslm_tpu.core.masked import Masked
@@ -211,6 +212,65 @@ def test_sampler_fused_path_matches_per_layer():
     np.testing.assert_allclose(
         np.asarray(out_fused["output"].value),
         np.asarray(out_plain["output"].value), rtol=1e-3, atol=1e-3)
+
+
+def _mega_lvtr_hp():
+    """Smallest config the mega kernel accepts (dim % 256 == 0,
+    ffd = 4*dim, ALiBi, RMSNorm eps 1e-6, GELU, no bias) with tokens
+    + conditional flow to exercise the full step extras."""
+    from tests.test_models import TINY_LVTR
+
+    d = TINY_LVTR.to_dict()
+    d["transformer"]["rpe"]["maxpos"] = 512
+    d["transformer"]["layer"]["dim"] = 256
+    d["transformer"]["layer"]["ffd_size"] = 1024
+    return Hparams.from_dict(d)
+
+
+@pytest.mark.parametrize("tp,length", [(6, 20), (130, 12)])
+def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
+    """The one-kernel-per-step mega decode path (forced via
+    VAE_GSLM_MEGA_DECODE=1; kernel in interpret mode on CPU) must
+    reproduce the per-layer decode path sample-for-sample — across
+    partial stage groups, 8-row merges and (tp=130) a flushed cold
+    block."""
+    from tests.test_models import N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    hp = _mega_lvtr_hp()
+    rng = np.random.RandomState(0)
+    b = 2
+    toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
+    mel = rng.randn(b, tp, N_MELS).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setenv("VAE_GSLM_MEGA_DECODE", "1")
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    m = LVTR(hp, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    s_mega = ARTRSampler(m, kv_dtype=jnp.int8, quantize_weights=True)
+    assert m.transformer.build_mega_decode() is not None
+    out_m = s_mega(length, prior, key, temperature=0.8,
+                   token_temperature=0.8)
+
+    monkeypatch.setenv("VAE_GSLM_MEGA_DECODE", "0")
+    m2 = LVTR(hp, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    s_plain = ARTRSampler(m2, kv_dtype=jnp.int8,
+                          quantize_weights=True)
+    out_p = s_plain(length, prior, key, temperature=0.8,
+                    token_temperature=0.8)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_m["frames"].value[..., 0]),
+        np.asarray(out_p["frames"].value[..., 0]))  # same tokens
+    np.testing.assert_allclose(
+        np.asarray(out_m["frames"].value),
+        np.asarray(out_p["frames"].value), rtol=1e-2, atol=8e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_m["output"].value),
+        np.asarray(out_p["output"].value), rtol=1e-2, atol=1e-2)
 
 
 def test_sampler_hybrid_path_matches_per_layer(monkeypatch):

@@ -93,6 +93,86 @@ def _select_hybrid(use_stacked: bool, kv_dtype, return_attn: bool):
     return use, interpret
 
 
+def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
+    """(use_mega, interpret, max_batch): one-kernel-per-step trunk
+    decode (``ops/mega_step.py``) — the B<=8 serving default on TPU
+    with int8 KV + int8 weights (651 vs 854 us/step at flushed=512,
+    PERFORMANCE.md).  VAE_GSLM_MEGA_DECODE=1 forces it elsewhere
+    (interpret mode — tests), =0 disables;
+    VAE_GSLM_MEGA_MAX_BATCH bounds the batch (VMEM slots scale
+    with B)."""
+    import os as _os
+
+    env = _os.environ.get("VAE_GSLM_MEGA_DECODE", "auto")
+    interpret = jax.default_backend() != "tpu"
+    use = (use_stacked and kv_dtype == jnp.int8 and not return_attn
+           and {"auto": not interpret, "1": True, "0": False}[env])
+    cap = int(_os.environ.get("VAE_GSLM_MEGA_MAX_BATCH", "8"))
+    return use, interpret, cap
+
+
+def _mega_scan_segments(model, frame, cache, flushed: int,
+                        pos0: int, length: int, keys, step_fn):
+    """Segmented AR scan over the three-tier mega cache: 8-step
+    ``lax.scan`` groups with one stage→tail merge per group (nested
+    scan for full segments), and a static tail→cold flush every 128
+    steps.  ``step_fn`` is ``(frame, cache, pos, flushed, key) ->
+    (next, cache)``.  Returns ``(frames (B, length, C), last)``."""
+    from ...ops.mega_step import (BLK, STAGE, flush_mega,
+                                  merge_stage)
+
+    seg_frames = []
+    done = 0
+    while done < length:
+        if pos0 - flushed == BLK:
+            cache = flush_mega(cache, flushed)
+            flushed += BLK
+        rel = pos0 - flushed
+
+        def body(carry, k_i, flushed=flushed):
+            frame, cache, pos = carry
+            nxt, cache = step_fn(frame, cache, pos, flushed, k_i)
+            return (nxt, cache, pos + 1), frame[:, 0]
+
+        if rel % STAGE:
+            # partial group up to the next 8-row boundary
+            seg = min(length - done, STAGE - rel % STAGE)
+            (frame, cache, _), fr = jax.lax.scan(
+                body, (frame, cache, jnp.asarray(pos0)),
+                keys[done:done + seg])
+            if (rel + seg) % STAGE == 0:
+                cache = merge_stage(cache, rel + seg - STAGE)
+        else:
+            ngroups = min(length - done, BLK - rel) // STAGE
+            if ngroups == 0:
+                # fewer than 8 steps remain: no merge needed
+                seg = length - done
+                (frame, cache, _), fr = jax.lax.scan(
+                    body, (frame, cache, jnp.asarray(pos0)),
+                    keys[done:done + seg])
+            else:
+                seg = ngroups * STAGE
+
+                def group(carry, g_keys, flushed=flushed):
+                    frame, cache, pos = carry
+                    (frame, cache, pos), fr = jax.lax.scan(
+                        body, (frame, cache, pos), g_keys)
+                    cache = merge_stage(
+                        cache, pos - flushed - STAGE)
+                    return (frame, cache, pos), fr
+
+                (frame, cache, _), fr = jax.lax.scan(
+                    group, (frame, cache, jnp.asarray(pos0)),
+                    keys[done:done + seg].reshape(
+                        (ngroups, STAGE) + keys.shape[1:]))
+                fr = fr.reshape((seg,) + fr.shape[2:])
+        seg_frames.append(fr)
+        done += seg
+        pos0 += seg
+    frames = jnp.concatenate(seg_frames, axis=0)
+    return jnp.swapaxes(frames, 0, 1), frame
+
+
 class ARTRSampler:
     """Sampler for LVTR-family models.
 
@@ -166,6 +246,39 @@ class ARTRSampler:
             model, frame, cache, flushed, tp + 1, length,
             jax.random.split(k_scan, length), step_fn)
 
+    def _run_mega(self, model, stacked, weights, enc: Masked,
+                  length: int, k_init, k_pre, k_scan, temperature,
+                  token_temperature, truncated_norm,
+                  interpret: bool):
+        """AR loop with the whole trunk step as ONE Pallas kernel
+        call (``TransformerLayerStack.decode_mega``): prefill on the
+        stacked head-major int8 cache, convert to the three-tier mega
+        layout, then 8-step merge groups / 128-step flush segments."""
+        b, tp = enc.value.shape[0], enc.value.shape[1]
+        kw = dict(temperature=temperature,
+                  token_temperature=token_temperature,
+                  truncated_norm=truncated_norm)
+        pre_cache = model.init_cache(b, tp + 1, dtype=jnp.int8,
+                                     stacked=True)
+        out, pre_cache = model.step(enc.value, pre_cache,
+                                    jnp.asarray(0), k_pre,
+                                    push_init_state=True,
+                                    init_key=k_init, stacked=stacked,
+                                    **kw)
+        frame = out[:, -1:]
+        total = tp + 1 + length
+        cache, flushed = model.transformer.mega_cache_from_prefill(
+            pre_cache, tp + 1, total)
+
+        def step_fn(frame, cache, pos, flushed, k_i):
+            return model.step_mega(frame, weights, cache, pos,
+                                   flushed, k_i,
+                                   interpret=interpret, **kw)
+
+        return _mega_scan_segments(
+            model, frame, cache, flushed, tp + 1, length,
+            jax.random.split(k_scan, length), step_fn)
+
     def _build(self, length: int, temperature: float,
                token_temperature: float, truncated_norm,
                encoder_temperature: float, return_attn: bool):
@@ -190,6 +303,8 @@ class ARTRSampler:
         import os as _os
         use_hybrid, hybrid_interpret = _select_hybrid(
             use_stacked, self.kv_dtype, return_attn)
+        use_mega, mega_interpret, mega_cap = _select_mega(
+            use_stacked, self.kv_dtype, return_attn)
 
         @jax.jit
         def run(state, prior: Masked, key: Array):
@@ -210,6 +325,22 @@ class ARTRSampler:
                        if use_stacked
                        and b <= max(32, hybrid_cap if use_hybrid
                                     else 32) else None)
+            # One-kernel-per-step trunk decode: the smallest-batch
+            # fast path (int8 weights + int8 KV required).
+            mega = (model.transformer.build_mega_decode()
+                    if use_mega and stacked is not None
+                    and b <= mega_cap else None)
+            if mega is not None:
+                frames, frame_last = self._run_mega(
+                    model, stacked, mega, enc, length, k_init,
+                    k_pre, k_scan, temperature, token_temperature,
+                    truncated_norm, mega_interpret)
+                full = jnp.concatenate([enc.value, frames], axis=1)
+                full_m = Masked.from_lengths(full,
+                                             enc.lengths + length)
+                mel = (model.decode(full_m, k_dec, u_c=u_c)
+                       if has_utt else model.decode(full_m, k_dec))
+                return {"output": mel, "frames": full_m}
             if use_hybrid and stacked is not None and b <= hybrid_cap:
                 frames, frame_last = self._run_hybrid(
                     model, stacked, enc, length, k_init, k_pre,

@@ -367,6 +367,43 @@ class LVTR(nnx.Module):
                 [tok[..., None].astype(jnp.float32), out], axis=-1)
         return out, cache
 
+    def step_mega(self, xv: Array, weights, cache: dict, pos: Array,
+                  flushed: int, key: Array,
+                  temperature: float = 1.0,
+                  token_temperature: float = 1.0,
+                  truncated_norm: Optional[Tuple[float, float]] = None,
+                  interpret: bool = False):
+        """``step`` with the whole trunk as ONE Pallas kernel call per
+        token (``TransformerLayerStack.decode_mega`` /
+        ``ops/mega_step.py``) — the B<=8 serving fast path."""
+        k_prior, k_tok = jax.random.split(key)
+        if self.use_tokens:
+            ids = xv[..., 0].astype(jnp.int32)
+            latents = xv[..., 1:]
+            emb = self.token_embedding.lookup(ids)
+            fused = emb + jax.nn.relu(self.token_fuser.dense(latents))
+        else:
+            fused = xv
+        h, cache = self.transformer.decode_mega(
+            fused, weights, cache, pos, flushed, interpret=interpret)
+        hm = Masked.full(h)
+        q_split = self.q_spliter(hm) if self.use_tokens else hm
+        z = self.prior_head(q_split, k_prior, temperature=temperature,
+                            truncated_norm=truncated_norm)
+        sample_z = z.sample
+        if self.transformer_flow is not None:
+            sample_z = self.transformer_flow.reverse(sample_z,
+                                                     c=q_split)
+        out = sample_z.value
+        if self.use_tokens:
+            logits = self.token_predictor(
+                self.token_spliter(hm)).value.astype(jnp.float32)
+            tok = jax.random.categorical(
+                k_tok, logits / token_temperature, axis=-1)
+            out = jnp.concatenate(
+                [tok[..., None].astype(jnp.float32), out], axis=-1)
+        return out, cache
+
     # ------------------------------------------------------------------
     def decode(self, x: Masked, key: Array,
                u_c: Optional[Array] = None,

@@ -625,6 +625,107 @@ class TransformerLayerStack(nnx.Module):
             "b2": biases(lambda la: la.linear2, d),
         }
 
+    def mega_cache_from_prefill(self, cache: LayerKVCache,
+                                prompt_len: int, total_len: int):
+        """Convert a filled int8 stacked prefill cache (positions
+        [0, prompt_len)) into the mega-kernel's three-tier layout
+        (``ops/mega_step.py``): block-major time-minor cold blocks
+        (multiples of 128) + head-major int8 tail (8-row-merged
+        groups) + bf16 stage rows (the <8 remainder).  Returns
+        (cache-dict, flushed)."""
+        from ..ops.mega_step import BLK, STAGE, TAIL
+
+        assert cache.quantized, "mega decode requires the int8 cache"
+        nl, b, h, _, dh = cache.k.shape
+        flushed = (prompt_len // BLK) * BLK
+        nb = max(total_len // BLK + 1, 1)
+        nb_f = flushed // BLK
+        rel = prompt_len - flushed
+        n_tail = (rel // STAGE) * STAGE
+        n_st = rel - n_tail
+
+        def cold(x):
+            out = jnp.zeros((nl, nb, h, b, dh, BLK), jnp.int8)
+            if not flushed:
+                return out
+            blk = x[:, :, :, :flushed].reshape(
+                nl, b, h, nb_f, BLK, dh)
+            return out.at[:, :nb_f].set(
+                jnp.transpose(blk, (0, 3, 2, 1, 5, 4)))
+
+        def cold_s(x):
+            out = jnp.zeros((nl, nb, h, b, BLK), jnp.float32)
+            if not flushed:
+                return out
+            return out.at[:, :nb_f].set(jnp.transpose(
+                x[..., :flushed].reshape(nl, b, h, nb_f, BLK),
+                (0, 3, 2, 1, 4)))
+
+        def tail(x):
+            out = jnp.zeros((nl, h, b, TAIL, dh), jnp.int8)
+            if not n_tail:
+                return out
+            return out.at[:, :, :, :n_tail].set(jnp.swapaxes(
+                x[:, :, :, flushed:flushed + n_tail], 1, 2))
+
+        def tail_s(x):
+            out = jnp.zeros((nl, h, b, TAIL), jnp.float32)
+            if not n_tail:
+                return out
+            return out.at[..., :n_tail].set(jnp.swapaxes(
+                x[..., flushed:flushed + n_tail], 1, 2))
+
+        def stage(xq, xs):
+            out = jnp.zeros((nl, STAGE, h, b, dh), jnp.bfloat16)
+            if not n_st:
+                return out
+            rows = (xq[:, :, :, flushed + n_tail:prompt_len]
+                    .astype(jnp.float32)
+                    * xs[..., flushed + n_tail:prompt_len, None])
+            return out.at[:, :n_st].set(jnp.transpose(
+                rows, (0, 3, 2, 1, 4)).astype(jnp.bfloat16))
+
+        return {
+            "k_cold": cold(cache.k), "v_cold": cold(cache.v),
+            "kc_scale": cold_s(cache.k_scale),
+            "vc_scale": cold_s(cache.v_scale),
+            "k_tail": tail(cache.k), "v_tail": tail(cache.v),
+            "kt_scale": tail_s(cache.k_scale),
+            "vt_scale": tail_s(cache.v_scale),
+            "k_stage": stage(cache.k, cache.k_scale),
+            "v_stage": stage(cache.v, cache.v_scale),
+        }, flushed
+
+    def decode_mega(self, xv: Array, weights, cache: dict,
+                    pos: Array, flushed: int,
+                    interpret: bool = False):
+        """Single-token trunk step as ONE Pallas kernel call
+        (``ops/mega_step.fused_trunk_step``) over the three-tier mega
+        cache, plus the per-step bf16 stage append.  The caller owns
+        the every-8-step ``merge_stage`` and every-128-step
+        ``flush_mega`` cadence."""
+        from ..ops.mega_step import (STAGE, fused_trunk_step,
+                                     stage_append)
+
+        if self.linear is not None:
+            xv = self.linear(xv)
+        if self.first_norm is not None:
+            xv = self.first_norm(xv)
+        b, s, d = xv.shape
+        assert s == 1
+        slopes = self.rpe.slopes[...]
+        xo, kn, vn = fused_trunk_step(
+            xv[:, 0].astype(jnp.float32), weights, cache, pos,
+            slopes, flushed=flushed, interpret=interpret)
+        cache = stage_append(cache, kn, vn,
+                             jax.lax.rem(pos - flushed, STAGE))
+        x = xo[:, None].astype(xv.dtype)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        if self.out is not None:
+            x = self.out(x)
+        return x, cache
+
     def init_stacked_cache(self, batch: int, max_len: int,
                            dtype=None) -> LayerKVCache:
         """One KV cache for the whole stack: ``(L, B, H, maxT, D)``."""

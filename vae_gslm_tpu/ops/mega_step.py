@@ -378,10 +378,10 @@ def fused_trunk_step(x: Array, weights, cache: dict,
             pl.BlockSpec((1, STAGE, h, b, dh),
                          lambda li, p, s: (i_att(li, p, s),
                                            0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((b, d), lambda li, p, s: (0, 0)),
