@@ -95,9 +95,9 @@ def _select_hybrid(use_stacked: bool, kv_dtype, return_attn: bool):
 
 def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
     """(use_mega, interpret, max_batch): one-kernel-per-step trunk
-    decode (``ops/mega_step.py``) — the B<=8 serving default on TPU
+    decode (``ops/mega_step.py``) — the B<=16 serving default on TPU
     with int8 KV + int8 weights (651 vs 854 us/step at flushed=512,
-    PERFORMANCE.md).  VAE_GSLM_MEGA_DECODE=1 forces it elsewhere
+    PERFORMANCE.md; 152x/179x RTF at B=8/16 vs 97x hybrid).  VAE_GSLM_MEGA_DECODE=1 forces it elsewhere
     (interpret mode — tests), =0 disables;
     VAE_GSLM_MEGA_MAX_BATCH bounds the batch (VMEM slots scale
     with B)."""
@@ -107,7 +107,10 @@ def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
     interpret = jax.default_backend() != "tpu"
     use = (use_stacked and kv_dtype == jnp.int8 and not return_attn
            and {"auto": not interpret, "1": True, "0": False}[env])
-    cap = int(_os.environ.get("VAE_GSLM_MEGA_MAX_BATCH", "8"))
+    # B=8: 152x vs 97x hybrid; B=16: 179x.  B=32 exceeds the 128 MB
+    # VMEM budget (per-block cold slots scale with B) — hybrid takes
+    # over there (115x at B=32, 126x at B=64).
+    cap = int(_os.environ.get("VAE_GSLM_MEGA_MAX_BATCH", "16"))
     return use, interpret, cap
 
 
