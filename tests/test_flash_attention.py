@@ -105,8 +105,10 @@ def test_blockwise_backward_long_sequence_tpu():
         lengths = jnp.asarray([tk - 5])
         slopes = -jnp.asarray([0.25, 0.0625])
 
+        o = _attention_reference(q, k, v, lengths, slopes,
+                                 causal=(tq == tk))
         dq, dk, dv = _flash_backward_blockwise(
-            q, k, v, g, lengths, slopes, causal=(tq == tk))
+            q, k, v, g, o, lengths, slopes, causal=(tq == tk))
 
         def f(q, k, v):
             return (_attention_reference(

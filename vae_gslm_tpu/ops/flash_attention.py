@@ -13,14 +13,19 @@ Shapes: q, k, v: (B, H, T, D); lengths: (B,); slopes: (H,) (negative,
 as produced by ``nn.positions.ALiBi``).  fp32 softmax; matmuls accumulate
 fp32 via ``preferred_element_type``.
 
-Forward: q streamed in ``block_q`` tiles over full K/V for one
-(batch, head) resident in VMEM, matmuls at input precision (bf16
-under the mixed policy) with fp32 softmax.  Backward: a
-``jax.custom_vjp`` full-matrix Pallas kernel per (batch, head) — all
-five gradient matmuls on the MXU at input precision with the (T, T)
-probability matrix living only in VMEM (measured ~6x faster than the
-XLA dense VJP at B8/H16/T641/D64 on v5e; falls back to the XLA dense
-VJP for T > 1024 or off-TPU).
+Forward: at training scale (tq == tk <= 1024) a full-matrix kernel
+per (batch, head) — K/V fetched once, the whole (T, T) logits in
+VMEM (2.2x the q-tiled kernel: 213 vs 471 us/layer measured at
+B8/H16/T641/D64 on v5e, where the tiled grid's per-step overhead and
+per-tile K/V re-fetch dominate).  Longer or cross-shaped inputs
+stream q in ``block_q`` tiles over resident K/V.  Matmuls run at
+input precision (bf16 under the mixed policy) with fp32 softmax.
+Backward: a ``jax.custom_vjp`` full-matrix Pallas kernel per
+(batch, head) with the FA2-style ``delta = rowsum(dO * O)``
+precomputed in XLA from the O saved by the forward — five gradient
+matmuls on the MXU with the (T, T) probability matrix living only in
+VMEM (falls back to a blockwise kernel for T > 1024 and to the XLA
+dense VJP off-TPU).
 """
 from __future__ import annotations
 
@@ -103,6 +108,82 @@ def _flash_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
+                     causal: bool, use_alibi: bool):
+    """Full-matrix forward for one (batch, head): grid (B, H).
+
+    At training scale (T <= ~1k) the whole (T, T) logits matrix fits
+    VMEM, so Q/K/V are fetched ONCE per (batch, head) and the kernel
+    runs 128 grid steps instead of B*H*n_q.  Measured ~2.2x the
+    q-tiled kernel at B8/H16/T641/D64 on v5e — the tiled grid's
+    ~0.45 us/step overhead and its per-tile K/V re-fetch dominate at
+    these shapes.  Probabilities are normalized BEFORE the V matmul:
+    the unnormalized-E @ V + divide-after variant measured 20x worse
+    fp32 accuracy (2.3e-3 vs 1e-4 vs the XLA reference).
+    """
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    q = q_ref[0, 0]                            # (T, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    if use_alibi:
+        s = s + slope_ref[ih] * jnp.abs(k_pos - q_pos).astype(
+            jnp.float32)
+    valid = k_pos < len_ref[ib]
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+# Full-matrix forward VMEM gate: (T, T) fp32 logits + exp live tiles.
+_FWD_FULL_MAX_T = 1024
+
+
+def _flash_forward_full(q: Array, k: Array, v: Array, lengths: Array,
+                        slopes: Optional[Array], causal: bool) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    use_alibi = slopes is not None
+    if slopes is None:
+        slopes = jnp.zeros((h,), jnp.float32)
+    spec = pl.BlockSpec((1, 1, t, d), lambda b_, h_, *_: (b_, h_, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_fwd_full_kernel, causal=causal,
+                          use_alibi=use_alibi),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, h),
+            in_specs=[spec] * 3,
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # (T, T) fp32 intermediates exceed the 16 MB default
+            # scoped-vmem limit near T = 1024.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32), q, k, v)
+    return out
+
+
 def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
                    slopes: Optional[Array], causal: bool,
                    block_q: int) -> Array:
@@ -142,8 +223,8 @@ def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
 
 
 def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
-                      dq_ref, dk_ref, dv_ref, *, causal: bool,
-                      use_alibi: bool):
+                      delta_ref, dq_ref, dk_ref, dv_ref, *,
+                      causal: bool, use_alibi: bool):
     """Full-matrix attention backward for one (batch, head).
 
     T at training scale (<= ~1k) lets the whole (T, T) probability
@@ -152,6 +233,11 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     quadratic ever touching HBM — vs the XLA dense VJP which
     round-trips several (B, H, T, T) fp32 tensors through HBM
     (~5x slower measured at B8/H16/T641/D64 on v5e).
+
+    ``delta = rowsum(dO * O)`` arrives precomputed (FA2-style) from
+    the O saved by the forward — dropping the in-kernel O = P V
+    recompute takes the kernel from six to five T^2 D matmuls
+    (621 -> 590 us/layer measured at the training shapes).
     """
     from jax.experimental import pallas as pl
 
@@ -161,6 +247,7 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     g = g_ref[0, 0]
+    delta = delta_ref[0, 0]                    # (T, 1) fp32
     t, d = q.shape
     scale = 1.0 / math.sqrt(d)
     s = jax.lax.dot_general(
@@ -183,12 +270,6 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     dv = jax.lax.dot_general(
         pb, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    # delta = rowsum(dO * O), O recomputed as P V
-    o = jax.lax.dot_general(
-        pb, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1,
-                    keepdims=True)                     # (T, 1)
     # dP = dO V^T ; dS = P * (dP - delta) * scale
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
@@ -214,7 +295,8 @@ _BWD_BLOCKWISE_MAX_TK = 8192
 
 
 def _flash_bwd_blockwise_kernel(len_ref, slope_ref, q_ref, k_ref,
-                                v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                                v_ref, g_ref, delta_ref,
+                                dq_ref, dk_ref, dv_ref,
                                 *, block_q: int, causal: bool,
                                 use_alibi: bool):
     """Blockwise attention backward: grid (B, H, n_q).
@@ -258,10 +340,7 @@ def _flash_bwd_blockwise_kernel(len_ref, slope_ref, q_ref, k_ref,
     dv_p = jax.lax.dot_general(                 # P^T dO   (Tk, D)
         pb, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o = jax.lax.dot_general(
-        pb, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    delta = delta_ref[0, 0]                     # (block_q, 1) fp32
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -285,18 +364,24 @@ def _flash_bwd_blockwise_kernel(len_ref, slope_ref, q_ref, k_ref,
         dv_ref[0, 0] += dv_p
 
 
-def _flash_backward_blockwise(q, k, v, g, lengths, slopes, causal,
+def _flash_backward_blockwise(q, k, v, g, o, lengths, slopes, causal,
                               block_q: int = 128):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    # delta = rowsum(dO * O) precomputed in XLA (fuses upstream);
+    # zero-padded rows contribute zero like the padded dO rows.
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
     padded_tq = ((tq + block_q - 1) // block_q) * block_q
     if padded_tq != tq:
         pad = ((0, 0), (0, 0), (0, padded_tq - tq), (0, 0))
         q = jnp.pad(q, pad)
         g = jnp.pad(g, pad)     # zero dO rows -> zero contributions
+        delta = jnp.pad(delta, ((0, 0), (0, 0),
+                                (0, padded_tq - tq), (0, 0)))
     n_q = padded_tq // block_q
     use_alibi = slopes is not None
     if slopes is None:
@@ -305,6 +390,8 @@ def _flash_backward_blockwise(q, k, v, g, lengths, slopes, causal,
                          lambda b_, h_, i, *_: (b_, h_, i, 0))
     kspec = pl.BlockSpec((1, 1, tk, d),
                          lambda b_, h_, i, *_: (b_, h_, 0, 0))
+    dspec = pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, i, *_: (b_, h_, i, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_blockwise_kernel,
                           block_q=block_q, causal=causal,
@@ -312,7 +399,7 @@ def _flash_backward_blockwise(q, k, v, g, lengths, slopes, causal,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, h, n_q),
-            in_specs=[qspec, kspec, kspec, qspec],
+            in_specs=[qspec, kspec, kspec, qspec, dspec],
             out_specs=[qspec, kspec, kspec],
         ),
         out_shape=[
@@ -326,11 +413,11 @@ def _flash_backward_blockwise(q, k, v, g, lengths, slopes, causal,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(lengths.astype(jnp.int32), slopes.astype(jnp.float32),
-      q, k, v, g)
+      q, k, v, g, delta)
     return (dq[:, :, :tq], dk.astype(k.dtype), dv.astype(v.dtype))
 
 
-def _flash_backward(q, k, v, g, lengths, slopes, causal):
+def _flash_backward(q, k, v, g, o, lengths, slopes, causal):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -338,20 +425,24 @@ def _flash_backward(q, k, v, g, lengths, slopes, causal):
     use_alibi = slopes is not None
     if slopes is None:
         slopes = jnp.zeros((h,), jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
     spec = pl.BlockSpec((1, 1, t, d), lambda b_, h_, *_: (b_, h_, 0, 0))
+    dspec = pl.BlockSpec((1, 1, t, 1), lambda b_, h_, *_: (b_, h_, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, causal=causal,
                           use_alibi=use_alibi),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, h),
-            in_specs=[spec] * 4,
+            in_specs=[spec] * 4 + [dspec],
             out_specs=[spec] * 3,
         ),
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
-    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32), q, k, v, g)
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32),
+      q, k, v, g, delta)
     return dq, dk, dv
 
 
@@ -368,6 +459,16 @@ def flash_attention(q, k, v, lengths, slopes, causal=True,
 
 def _dispatch(q, k, v, lengths, slopes, causal, block_q):
     if jax.default_backend() in ("tpu",):
+        # Self-attention at training scale: full-matrix kernel (one
+        # K/V fetch and one grid step per (batch, head)); q-tiled
+        # streaming kernel beyond the VMEM gate.
+        if (q.shape[2] == k.shape[2]
+                and k.shape[2] <= _FWD_FULL_MAX_T):
+            try:
+                return _flash_forward_full(q, k, v, lengths, slopes,
+                                           causal)
+            except Exception:
+                _warn_fallback("forward")
         try:
             return _flash_forward(q, k, v, lengths, slopes, causal,
                                   block_q)
@@ -392,17 +493,19 @@ def _warn_fallback(which: str) -> None:
 
 def _fwd(q, k, v, lengths, slopes, causal, block_q):
     out = _dispatch(q, k, v, lengths, slopes, causal, block_q)
-    return out, (q, k, v, lengths, slopes)
+    # O is saved for the FA2-style delta precompute in the backward
+    # (rowsum(dO * O) in XLA instead of an in-kernel P V recompute).
+    return out, (q, k, v, out, lengths, slopes)
 
 
 def _bwd(causal, block_q, res, g):
-    q, k, v, lengths, slopes = res
+    q, k, v, o, lengths, slopes = res
     if jax.default_backend() in ("tpu",):
         # Full-matrix kernel where the (T, T) tile fits VMEM (it wins
         # there: one grid step per (b, h)); blockwise beyond.
         if (q.shape[2] == k.shape[2] and k.shape[2] <= _BWD_MAX_T):
             try:
-                dq, dk, dv = _flash_backward(q, k, v, g, lengths,
+                dq, dk, dv = _flash_backward(q, k, v, g, o, lengths,
                                              slopes, causal)
                 return dq, dk, dv, None, None
             except Exception:
@@ -410,7 +513,7 @@ def _bwd(causal, block_q, res, g):
         elif k.shape[2] <= _BWD_BLOCKWISE_MAX_TK:
             try:
                 dq, dk, dv = _flash_backward_blockwise(
-                    q, k, v, g, lengths, slopes, causal)
+                    q, k, v, g, o, lengths, slopes, causal)
                 return dq, dk, dv, None, None
             except Exception:
                 _warn_fallback("backward")
