@@ -414,3 +414,61 @@ def test_metric_aggregation_across_microbatches(corpus, vocoder_dir,
     for k in ("kld", "rec_loss", "token_kld", "log_p", "log_q",
               "logstd", "q_logstd", "q_mean_abs"):
         assert np.isclose(m2[k], m1[k], rtol=1e-4), (k, m2[k], m1[k])
+
+
+def test_fused_accumulation_matches_scan(corpus, vocoder_dir,
+                                         tmp_path_factory):
+    """training.fuse_accumulation collapses (accum, B) -> (1, accum*B);
+    with a deterministic loss the metrics (and therefore the summed
+    gradients, which the metric sums are built from) match the scanned
+    accum path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    log_dir = tmp_path_factory.mktemp("exp_fuse")
+    cfg = TRAIN_HP.format(log_dir=log_dir, vocoder_dir=vocoder_dir,
+                          corpus=corpus)
+    hp = Hparams.from_yaml(cfg)
+    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
+
+    def fake_loss_fn(params, rest, batch, kld_weight, key):
+        mel = batch["mel"]
+        msum = (mel.value * mel.mask()[..., None]).sum()
+        n = mel.lengths.sum()
+        loss = (jax.tree_util.tree_leaves(params)[0].sum()
+                * 1e-6 * msum)
+        return loss, {"kld": msum, "rec_loss": 2.0 * msum,
+                      "length": n, "log_p": msum / n,
+                      "log_q": msum / n + 1.0,
+                      "logstd": -msum / n,
+                      "q_logstd": msum / n * 0.5,
+                      "q_mean_abs": (msum + 5.0 * n) / n,
+                      "token_kld": 3.0 * msum}
+
+    rng = np.random.RandomState(3)
+    n_mels = 20
+
+    def micro(b, t, lengths, seed):
+        r = np.random.RandomState(seed)
+        return {"mel": Masked.from_lengths(
+            np.asarray(r.randn(b, t, n_mels), np.float32),
+            np.asarray(lengths))}
+
+    A = micro(2, 10, [10, 7], 5)
+    B = micro(2, 10, [4, 9], 6)
+    stacked = jtu.tree_map(lambda a, b: jnp.stack([a, b]), A, B)
+
+    results = {}
+    for fuse in (False, True):
+        trainer = LVTRTrainer(hp)
+        trainer._loss_fn = fake_loss_fn
+        trainer._fuse_accum = fuse
+        trainer.rng = jax.random.PRNGKey(0)
+        results[fuse] = {k: float(v)
+                         for k, v in trainer.run_step(stacked).items()}
+    for k in ("kld", "rec_loss", "token_kld", "log_p", "log_q",
+              "logstd", "q_logstd", "q_mean_abs", "grad_norm"):
+        assert np.isclose(results[False][k], results[True][k],
+                          rtol=1e-4), (k, results[False][k],
+                                       results[True][k])

@@ -35,6 +35,7 @@ from ...parallel import mesh as mesh_lib
 from ...training.checkpoint import (load_compact, save_compact,
                                     save_train_state)
 from ...training.optimizer import create_optimizer
+from ...training import trainer as trainer_lib
 from ...training.trainer import (BaseTrainer, bucket_pad_batch,
                                  init_weights)
 
@@ -90,6 +91,12 @@ class LVTRTrainer(BaseTrainer):
         self._setup_state()
         self._train_step = None
         self._eval_step = None
+        # Fused accumulation: one (accum*B) micro-batch instead of a
+        # scan over accum B-sized ones — same summed gradients, better
+        # MXU utilization, ~2x activation memory.
+        self._fuse_accum = bool(
+            hp.training.get("fuse_accumulation", False)
+            or os.environ.get("VAE_GSLM_FUSE_ACCUM"))
         self.rng = jax.random.PRNGKey(seed + 1)
 
     # ------------------------------------------------------------- state
@@ -241,6 +248,8 @@ class LVTRTrainer(BaseTrainer):
         keep = {"mel", "tokens", "cropped_mel_utt", "cropped_mel"}
         stacked_batch = {k: v for k, v in stacked_batch.items()
                          if k in keep}
+        if self._fuse_accum:
+            stacked_batch = trainer_lib.fuse_microbatches(stacked_batch)
         batch = mesh_lib.shard_batch(stacked_batch, self.mesh)
         # Micro-batch axis is leading: shard on axis 1 (batch).
         self.rng, key = jax.random.split(self.rng)

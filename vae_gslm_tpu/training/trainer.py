@@ -79,6 +79,24 @@ def stack_batches(batches) -> Any:
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
 
 
+def fuse_microbatches(stacked: Any) -> Any:
+    """Collapse the grad-accum axis into the batch axis:
+    (accum, B, ...) -> (1, accum * B, ...).
+
+    Summed gradients over scanned micro-batches equal the gradient of
+    one fused batch (losses are masked SUMS — the equivalence the
+    metric-aggregation test asserts), so this is numerics-preserving
+    up to per-micro-batch PRNG draws while giving the MXU 2x the GEMM
+    rows per kernel launch.  Costs ~2x activation memory; gated by
+    ``training.fuse_accumulation`` / ``VAE_GSLM_FUSE_ACCUM``.
+    """
+    def f(x):
+        a = jnp.asarray(x)
+        return a.reshape((1, a.shape[0] * a.shape[1]) + a.shape[2:])
+
+    return jax.tree_util.tree_map(f, stacked)
+
+
 def bucket_pad_batch(batch: Dict[str, Any], bucket: int = 256
                      ) -> Dict[str, Any]:
     """Pad every Masked entry's time axis up to a multiple of
