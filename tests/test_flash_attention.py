@@ -118,3 +118,39 @@ def test_blockwise_backward_long_sequence_tpu():
         for a, r in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernels need a TPU")
+def test_full_matrix_forward_and_delta_backward_tpu():
+    """The full-matrix fwd kernel (grid (B, H)) and the FA2-style
+    delta-precompute bwd match the XLA reference at training shapes,
+    including variable lengths."""
+    rng = np.random.RandomState(0)
+    b, h, t, d = 4, 8, 641, 64
+    q = jnp.asarray(rng.randn(b, h, t, d) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, t, d) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, t, d) * 0.3, jnp.float32)
+    lengths = jnp.asarray([t, t // 2, 300, t], jnp.int32)
+    slopes = jnp.asarray(-(2.0 ** -np.arange(1, h + 1)), jnp.float32)
+    valid = (np.arange(t)[None, :]
+             < np.asarray(lengths)[:, None])[:, None, :, None]
+
+    out = flash_attention(q, k, v, lengths, slopes, True)
+    ref = _attention_reference(q, k, v, lengths, slopes, True)
+    err = (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max()
+    assert err < 5e-4, err
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v, lengths, slopes, True)
+            return (o * valid).sum()
+        return f
+
+    g = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(_attention_reference), argnums=(0, 1, 2))(
+        q, k, v)
+    for name, a, r in zip("dq dk dv".split(), g, gr):
+        scale = max(1.0, float(np.abs(np.asarray(r)).max()))
+        e = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert e < 2e-2 * scale, (name, e)

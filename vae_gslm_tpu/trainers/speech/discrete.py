@@ -27,6 +27,7 @@ from ...models.vocoder.vocoder import HuBERTIO
 from ...parallel import mesh as mesh_lib
 from ...training.checkpoint import save_compact
 from ...training.optimizer import create_optimizer
+from ...training import trainer as trainer_lib
 from ...training.trainer import BaseTrainer, init_weights
 
 
@@ -62,6 +63,12 @@ class DiscreteARTrainer(BaseTrainer):
         self.opt_state = mesh_lib.replicate_tree(
             self.tx.init(self.params), self.mesh)
         self._train_step = None
+        # Same fused-accumulation contract as LVTRTrainer: losses are
+        # masked sums, so (accum, B) -> (1, accum*B) preserves the
+        # summed gradient.
+        self._fuse_accum = bool(
+            hp.training.get("fuse_accumulation", False)
+            or os.environ.get("VAE_GSLM_FUSE_ACCUM"))
         self.rng = jax.random.PRNGKey(seed + 1)
 
     def _merge(self, params):
@@ -130,6 +137,8 @@ class DiscreteARTrainer(BaseTrainer):
             self._train_step = self._build_train_step()
         keep = {self.token_key, "f0"}
         batch = {k: v for k, v in stacked_batch.items() if k in keep}
+        if self._fuse_accum:
+            batch = trainer_lib.fuse_microbatches(batch)
         batch = mesh_lib.shard_batch(batch, self.mesh)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch,
