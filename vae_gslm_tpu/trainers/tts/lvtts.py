@@ -32,6 +32,7 @@ from ...nn.contrastive import InfoNCE
 from ...parallel import mesh as mesh_lib
 from ...training.checkpoint import save_compact
 from ...training.optimizer import create_optimizer
+from ...training import trainer as trainer_lib
 from ...training.trainer import BaseTrainer, init_weights
 
 
@@ -76,6 +77,10 @@ class LVTTSTrainer(BaseTrainer):
         self.opt_state = mesh_lib.replicate_tree(
             self.tx.init(self.params), self.mesh)
         self._train_step = None
+        # Fused accumulation (same sum-loss contract as LVTR).
+        self._fuse_accum = bool(
+            hp.training.get("fuse_accumulation", False)
+            or os.environ.get("VAE_GSLM_FUSE_ACCUM"))
         self.rng = jax.random.PRNGKey(seed + 1)
 
     def _merge(self, params, rest):
@@ -150,6 +155,8 @@ class LVTTSTrainer(BaseTrainer):
             self._train_step = self._build_train_step()
         keep = {"mel", "text", "cropped_mel"}
         batch = {k: v for k, v in stacked_batch.items() if k in keep}
+        if self._fuse_accum:
+            batch = trainer_lib.fuse_microbatches(batch)
         batch = mesh_lib.shard_batch(batch, self.mesh)
         self.rng, key = jax.random.split(self.rng)
         self.params, self.opt_state, metrics = self._train_step(
