@@ -21,12 +21,21 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
     """Load an audio file → (float32 mono-able array (C, T) or (T,), sr).
 
     Uses the native C++ decoder (``native/dataio.cc``) when available,
-    otherwise scipy."""
+    otherwise scipy (WAV only).  FLAC (the reference's LibriSpeech
+    format, decoded there via torchaudio — ``data/dataset.py:183``) is
+    handled by the native decoder."""
+    from . import native
+    if path.lower().endswith(".flac"):
+        nat = native.flac_read(path)
+        if nat is not None:
+            return nat
+        raise ValueError(
+            f"FLAC decode needs the native library (g++ build of "
+            f"native/dataio.cc) and a well-formed file: {path}")
     if not path.lower().endswith(".wav"):
         raise ValueError(
-            f"Only WAV decoding is available in this build: {path}. "
-            "Convert FLAC/MP3 inputs to WAV first.")
-    from . import native
+            f"Only WAV/FLAC decoding is available in this build: "
+            f"{path}. Convert other codecs to WAV first.")
     nat = native.wav_read(path)
     if nat is not None:
         return nat  # already mono float32

@@ -61,6 +61,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.flac_read.restype = ctypes.c_int
+    lib.flac_read.argtypes = list(lib.wav_read.argtypes)
     lib.resample_sinc.restype = ctypes.c_int64
     lib.resample_sinc.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -96,6 +98,28 @@ def wav_read(path: str) -> Optional[Tuple[np.ndarray, int]]:
     if rc != 0:
         return None
     return out, int(sr.value)
+
+
+def flac_read(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Mono float32 FLAC decode via the native decoder; None if the
+    native library is unavailable or the file fails to parse."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sr = ctypes.c_int32(0)
+    n = ctypes.c_int64(0)
+    # Query pass: reports STREAMINFO total samples, or (for streams
+    # with unknown total) the count from a counting decode.
+    rc = lib.flac_read(path.encode(), None, 0, ctypes.byref(sr),
+                       ctypes.byref(n))
+    if rc != 0:
+        return None
+    out = np.empty(max(n.value, 1), np.float32)
+    rc = lib.flac_read(path.encode(), _fptr(out), out.shape[0],
+                       ctypes.byref(sr), ctypes.byref(n))
+    if rc != 0:
+        return None
+    return out[:n.value], int(sr.value)
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int
