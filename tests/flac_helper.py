@@ -74,19 +74,33 @@ def _rice_param(res: np.ndarray) -> int:
 
 
 def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
-                    mode: str) -> None:
+                    mode: str, wasted: int = 0) -> None:
+    """When ``wasted`` > 0 every sample must have that many low zero
+    bits; they are stripped here and the decoder restores them."""
     x = x.astype(np.int64)
+    if wasted:
+        assert (x & ((1 << wasted) - 1) == 0).all()
+        x = x >> wasted
+        bps -= wasted
+
+    def wflag():
+        if wasted:
+            w.bits(1, 1)
+            w.bits(0, wasted - 1) if wasted > 1 else None
+            w.bits(1, 1)
+        else:
+            w.bits(0, 1)
     if mode == "constant":
         assert (x == x[0]).all()
         w.bits(0, 1)
         w.bits(0, 6)        # CONSTANT
-        w.bits(0, 1)        # no wasted bits
+        wflag()
         w.bits(int(x[0]), bps)
         return
     if mode == "verbatim":
         w.bits(0, 1)
         w.bits(1, 6)        # VERBATIM
-        w.bits(0, 1)
+        wflag()
         for v in x:
             w.bits(int(v), bps)
         return
@@ -98,7 +112,7 @@ def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
         coef = [int(1.6 * (1 << shift)), int(-0.64 * (1 << shift))]
         w.bits(0, 1)
         w.bits(0b100000 | (order - 1), 6)  # LPC
-        w.bits(0, 1)
+        wflag()
         for v in x[:order]:
             w.bits(int(v), bps)
         w.bits(prec - 1, 4)
@@ -114,7 +128,7 @@ def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
         order = int(mode[len("fixed"):])   # fixed0 / fixed1 / fixed2
         w.bits(0, 1)
         w.bits(0b001000 | order, 6)        # FIXED
-        w.bits(0, 1)
+        wflag()
         for v in x[:order]:
             w.bits(int(v), bps)
         res = x.copy()
@@ -137,7 +151,8 @@ def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
 def write_flac(path: str, samples: np.ndarray, sr: int,
                bps: int = 16, block: int = 256,
                subframe: str = "fixed1",
-               stereo: str = "independent") -> None:
+               stereo: str = "independent",
+               wasted: int = 0) -> None:
     """samples: int array (T,) mono or (2, T) stereo, within bps range."""
     samples = np.atleast_2d(np.asarray(samples, np.int64))
     nch, total = samples.shape
@@ -184,7 +199,7 @@ def write_flac(path: str, samples: np.ndarray, sr: int,
         fw.bits(crc8(hdr), 8)
         if nch == 1 or stereo == "independent":
             for c in range(nch):
-                _write_subframe(fw, seg[c], bps, subframe)
+                _write_subframe(fw, seg[c], bps, subframe, wasted)
         elif stereo == "left_side":
             side = seg[0] - seg[1]
             _write_subframe(fw, seg[0], bps, subframe)

@@ -85,3 +85,11 @@ def test_load_audio_flac_dispatch(tmp_path):
     audio, sr = load_audio(p)
     assert sr == 8000
     np.testing.assert_allclose(audio, expected_mono(x), atol=2e-7)
+
+
+def test_wasted_bits(tmp_path):
+    """Subframes with stripped low zero bits are shifted back."""
+    rng = np.random.RandomState(5)
+    x = (rng.randint(-4000, 4000, 1500) << 2).astype(np.int64)
+    roundtrip(tmp_path, x, subframe="fixed1", wasted=2)
+    roundtrip(tmp_path, x, subframe="verbatim", wasted=1)
