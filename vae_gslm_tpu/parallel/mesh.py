@@ -34,18 +34,23 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh,
-                axis_name: str = "data") -> Any:
-    """Device-put a host batch with the leading axis sharded over the
-    mesh's data axis.  Scalars/rank-0 leaves are replicated."""
-    data_sh = batch_sharding(mesh, axis_name)
+                axis_name: str = "data", axis: int = 0) -> Any:
+    """Device-put a host batch with dimension ``axis`` sharded over the
+    mesh's data axis — 0 for plain ``(B, ...)`` batches, 1 for
+    grad-accum-stacked ``(accum, B, ...)`` micro-batches (sharding the
+    tiny accum axis would be wrong: ``lax.scan`` slices it
+    sequentially).  Leaves too small or indivisible on ``axis`` are
+    replicated (scalars, odd eval batches)."""
     repl = replicated(mesh)
     n_data = dict(mesh.shape).get(axis_name, mesh.devices.size)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % n_data != 0:
+        if x.ndim <= axis or x.shape[axis] % n_data != 0:
             return jax.device_put(x, repl)
-        return jax.device_put(x, data_sh)
+        spec = [None] * x.ndim
+        spec[axis] = axis_name
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, batch)
 

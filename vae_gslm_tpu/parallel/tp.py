@@ -18,9 +18,11 @@ Sharding rules (transformer layers only, everything else replicated):
 Enable via ``hp.trainer.model_parallel: N`` (mesh becomes
 ``(n_devices // N, N)``); requires ``3*dim``, ``ffd_size``, ``dim`` and
 ``nheads`` divisible by N.  The Pallas flash-attention forward is a
-custom call that GSPMD cannot partition, so under TP the dense XLA
-attention path should be selected (``self_attn.use_flash: false``); the
-dense einsums partition on the head axis automatically.
+custom call that GSPMD cannot partition, so ``flash_mesh`` below makes
+the mesh ambient around trainer steps and the attention module routes
+through ``shard_map_flash`` — the unmodified kernel runs per device on
+its (batch, head) shard; ``use_flash: true`` works under both TP and
+multi-device DP.
 """
 from __future__ import annotations
 
@@ -104,11 +106,14 @@ _ACTIVE_FLASH_MESH = None
 @contextlib.contextmanager
 def flash_mesh(mesh: Optional[Mesh]):
     """Activate shard_map-wrapped flash attention for ``mesh`` (no-op
-    unless the mesh has a >1 ``model`` axis)."""
+    for single-device meshes).  On a (data, model) mesh the kernel
+    shards over batch AND heads; on a >1-device data-only mesh it
+    shards over batch — without this, GSPMD would all-gather the
+    custom call's operands onto every device, silently serializing
+    the attention stage under plain data parallelism."""
     global _ACTIVE_FLASH_MESH
     prev = _ACTIVE_FLASH_MESH
-    if (mesh is not None and "model" in mesh.axis_names
-            and mesh.shape["model"] > 1):
+    if mesh is not None and mesh.devices.size > 1:
         _ACTIVE_FLASH_MESH = mesh
     else:
         _ACTIVE_FLASH_MESH = None
@@ -118,29 +123,41 @@ def flash_mesh(mesh: Optional[Mesh]):
         _ACTIVE_FLASH_MESH = prev
 
 
+def _axis(mesh: Mesh, name: str) -> Optional[str]:
+    """``name`` if the mesh has that axis with size > 1, else None."""
+    if name in mesh.axis_names and dict(mesh.shape)[name] > 1:
+        return name
+    return None
+
+
 def active_flash_mesh(nheads: int, batch: int) -> Optional[Mesh]:
-    """The ambient TP mesh, if flash attention can shard over it."""
+    """The ambient mesh, if flash attention can shard over it
+    (heads divisible by the model axis, batch by the data axis)."""
     mesh = _ACTIVE_FLASH_MESH
     if mesh is None:
         return None
-    if nheads % mesh.shape["model"]:
+    model, data = _axis(mesh, "model"), _axis(mesh, "data")
+    if model and nheads % dict(mesh.shape)["model"]:
         return None
-    if "data" in mesh.axis_names and batch % mesh.shape["data"]:
+    if data and batch % dict(mesh.shape)["data"]:
+        return None
+    if not model and not data:
         return None
     return mesh
 
 
 def shard_map_flash(q, k, v, lengths, slopes, causal: bool,
                     mesh: Mesh):
-    """Run ops/flash_attention.py per device over the (data, model)
-    mesh: q/k/v (B, H, T, D) sharded (data, model); lengths on data;
-    slopes on model."""
+    """Run ops/flash_attention.py per device over the mesh:
+    q/k/v (B, H, T, D) sharded (data, model); lengths on data;
+    slopes on model (replicated on a data-only mesh)."""
     from jax.experimental.shard_map import shard_map
 
     from ..ops.flash_attention import flash_attention
 
-    data = "data" if "data" in mesh.axis_names else None
-    qspec = P(data, "model", None, None)
+    data = _axis(mesh, "data")
+    model = _axis(mesh, "model")
+    qspec = P(data, model, None, None)
 
     if slopes is None:
         fn = shard_map(
@@ -154,6 +171,6 @@ def shard_map_flash(q, k, v, lengths, slopes, causal: bool,
         lambda q_, k_, v_, l_, s_: flash_attention(
             q_, k_, v_, l_, s_, causal),
         mesh=mesh,
-        in_specs=(qspec, qspec, qspec, P(data), P("model")),
+        in_specs=(qspec, qspec, qspec, P(data), P(model)),
         out_specs=qspec, check_rep=False)
     return fn(q, k, v, lengths, slopes)

@@ -59,9 +59,8 @@ class DiscreteARTrainer(BaseTrainer):
         # nnx.split(self.model)), so no param filtering is needed.
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
         # Same fused-accumulation contract as LVTRTrainer: losses are
         # masked sums, so (accum, B) -> (1, accum*B) preserves the
@@ -139,7 +138,7 @@ class DiscreteARTrainer(BaseTrainer):
         batch = {k: v for k, v in stacked_batch.items() if k in keep}
         if self._fuse_accum:
             batch = trainer_lib.fuse_microbatches(batch)
-        batch = mesh_lib.shard_batch(batch, self.mesh)
+        batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch,
             jnp.asarray(self.global_step))
@@ -203,9 +202,8 @@ class DiscreteARTrainer(BaseTrainer):
         load_compact(self.model, path)
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
 
     def save_checkpoint(self, path: str) -> None:

@@ -103,14 +103,10 @@ class LVTRTrainer(BaseTrainer):
     def _setup_state(self):
         self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
                                                 ...)
-        self.params = mesh_lib.place_params(params, self.mesh)
+        self.params = self.place_params(params)
         self.rest = mesh_lib.replicate_tree(rest, self.mesh)
-        if mesh_lib.has_model_axis(self.mesh):
-            # zeros_like in optax init follows the params' TP shardings.
-            self.opt_state = self.tx.init(self.params)
-        else:
-            self.opt_state = mesh_lib.replicate_tree(
-                self.tx.init(self.params), self.mesh)
+        # zeros_like in optax init follows the params' TP/FSDP shardings.
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         if self.freeze_encoder:
             def frozen(path, leaf):
                 root = str(getattr(path[0], "key", path[0]))
@@ -250,8 +246,8 @@ class LVTRTrainer(BaseTrainer):
                          if k in keep}
         if self._fuse_accum:
             stacked_batch = trainer_lib.fuse_microbatches(stacked_batch)
-        batch = mesh_lib.shard_batch(stacked_batch, self.mesh)
         # Micro-batch axis is leading: shard on axis 1 (batch).
+        batch = mesh_lib.shard_batch(stacked_batch, self.mesh, axis=1)
         self.rng, key = jax.random.split(self.rng)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.rest, self.opt_state, batch,
@@ -393,16 +389,10 @@ class LVTRTrainer(BaseTrainer):
         template = {"params": self.params, "opt_state": self.opt_state,
                     "step": self.global_step}
         state = restore_train_state(path, template)
-        self.params = mesh_lib.place_params(state["params"], self.mesh)
-        if mesh_lib.has_model_axis(self.mesh):
-            # Restore onto the TP shardings of a freshly-init template.
-            template = self.tx.init(self.params)
-            self.opt_state = jax.tree_util.tree_map(
-                lambda z, s: jax.device_put(np.asarray(s), z.sharding),
-                template, state["opt_state"])
-        else:
-            self.opt_state = mesh_lib.replicate_tree(state["opt_state"],
-                                                     self.mesh)
+        # Restore onto the TP/FSDP shardings of a freshly-init template.
+        self.params = self.place_params(state["params"])
+        self.opt_state = self.place_opt_state(
+            self.tx, self.params, state["opt_state"])
         self.global_step = int(state["step"])
 
     def save_full_state(self, path: str) -> None:

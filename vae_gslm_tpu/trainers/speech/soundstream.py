@@ -45,9 +45,8 @@ class SoundStreamTrainer(BaseTrainer):
             hp.training, hp.trainer.total_steps)
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
 
     def _merge(self, params):
@@ -102,7 +101,7 @@ class SoundStreamTrainer(BaseTrainer):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         batch = {k: v for k, v in stacked_batch.items() if k == "mel"}
-        batch = mesh_lib.shard_batch(batch, self.mesh)
+        batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch,
             jnp.asarray(self.global_step))
@@ -132,9 +131,8 @@ class SoundStreamTrainer(BaseTrainer):
         load_compact(self.model, path)
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
 
     def save_checkpoint(self, path: str) -> None:

@@ -72,10 +72,9 @@ class LVTTSTrainer(BaseTrainer):
             hp.training, hp.trainer.total_steps)
         self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
                                                 ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.params = self.place_params(params)
         self.rest = mesh_lib.replicate_tree(rest, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
         # Fused accumulation (same sum-loss contract as LVTR).
         self._fuse_accum = bool(
@@ -157,7 +156,7 @@ class LVTTSTrainer(BaseTrainer):
         batch = {k: v for k, v in stacked_batch.items() if k in keep}
         if self._fuse_accum:
             batch = trainer_lib.fuse_microbatches(batch)
-        batch = mesh_lib.shard_batch(batch, self.mesh)
+        batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
         self.rng, key = jax.random.split(self.rng)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.rest, self.opt_state, batch,
@@ -258,10 +257,9 @@ class LVTTSTrainer(BaseTrainer):
         load_compact(self.model, path)
         self.graphdef, params, rest = nnx.split(self.model, nnx.Param,
                                                 ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
+        self.params = self.place_params(params)
         self.rest = mesh_lib.replicate_tree(rest, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
 
     def save_checkpoint(self, path: str) -> None:

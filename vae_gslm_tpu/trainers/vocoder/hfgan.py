@@ -73,12 +73,10 @@ class HiFiGANTrainer(BaseTrainer):
             self.generator, nnx.Param, ...)
         self.d_graphdef, d_params, self._d_rest = nnx.split(
             self.disc, nnx.Param, ...)
-        self.g_params = mesh_lib.replicate_tree(g_params, self.mesh)
-        self.d_params = mesh_lib.replicate_tree(d_params, self.mesh)
-        self.opt_g = mesh_lib.replicate_tree(
-            self.tx_g.init(self.g_params), self.mesh)
-        self.opt_d = mesh_lib.replicate_tree(
-            self.tx_d.init(self.d_params), self.mesh)
+        self.g_params = self.place_params(g_params)
+        self.d_params = self.place_params(d_params)
+        self.opt_g = self.init_opt_state(self.tx_g, self.g_params)
+        self.opt_d = self.init_opt_state(self.tx_d, self.d_params)
         self._train_step = None
         self.rng = jax.random.PRNGKey(seed + 2)
 
@@ -213,12 +211,12 @@ class HiFiGANTrainer(BaseTrainer):
                 "step": self.global_step}
 
     def _apply_train_state(self, state) -> None:
-        self.g_params = mesh_lib.replicate_tree(state["g_params"],
-                                                self.mesh)
-        self.d_params = mesh_lib.replicate_tree(state["d_params"],
-                                                self.mesh)
-        self.opt_g = mesh_lib.replicate_tree(state["opt_g"], self.mesh)
-        self.opt_d = mesh_lib.replicate_tree(state["opt_d"], self.mesh)
+        self.g_params = self.place_params(state["g_params"])
+        self.d_params = self.place_params(state["d_params"])
+        self.opt_g = self.place_opt_state(self.tx_g, self.g_params,
+                                          state["opt_g"])
+        self.opt_d = self.place_opt_state(self.tx_d, self.d_params,
+                                          state["opt_d"])
         self.global_step = int(state["step"])
         self._train_step = None
 
@@ -234,9 +232,8 @@ class HiFiGANTrainer(BaseTrainer):
         load_compact(self.generator, path)
         self.g_graphdef, g_params, self._g_rest = nnx.split(
             self.generator, nnx.Param, ...)
-        self.g_params = mesh_lib.replicate_tree(g_params, self.mesh)
-        self.opt_g = mesh_lib.replicate_tree(
-            self.tx_g.init(self.g_params), self.mesh)
+        self.g_params = self.place_params(g_params)
+        self.opt_g = self.init_opt_state(self.tx_g, self.g_params)
         self._train_step = None
 
     def save_checkpoint(self, path: str) -> None:

@@ -51,9 +51,8 @@ class HuBERTDecoderTrainer(BaseTrainer):
             hp.training, hp.trainer.total_steps)
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
         self.rng = jax.random.PRNGKey(seed + 1)
 
@@ -132,7 +131,7 @@ class HuBERTDecoderTrainer(BaseTrainer):
         keep = {"tokens", "mel", "cropped_mel", "dedup_tokens", "counts",
                 "f0"}
         batch = {k: v for k, v in stacked_batch.items() if k in keep}
-        batch = mesh_lib.shard_batch(batch, self.mesh)
+        batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
         self.rng, key = jax.random.split(self.rng)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch,
@@ -195,9 +194,8 @@ class HuBERTDecoderTrainer(BaseTrainer):
         load_compact(self.model, path)
         self.graphdef, params, self._rest = nnx.split(
             self.model, nnx.Param, ...)
-        self.params = mesh_lib.replicate_tree(params, self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(
-            self.tx.init(self.params), self.mesh)
+        self.params = self.place_params(params)
+        self.opt_state = self.init_opt_state(self.tx, self.params)
         self._train_step = None
 
     def save_checkpoint(self, path: str) -> None:

@@ -143,8 +143,54 @@ class BaseTrainer:
                 mp, n_dev // mp if n_dev else None)
         else:
             self.mesh = mesh_lib.create_mesh(n_dev)
+        # ZeRO/FSDP-style param + optimizer-state sharding over the
+        # data axis (parallel/fsdp.py; beyond the reference's
+        # replicated DDP).
+        self._fsdp = bool(hp.trainer.get("fsdp", False)) \
+            if hp.has("trainer") else False
+        self._fsdp_min_size = hp.trainer.get(
+            "fsdp_min_size", 4096) if hp.has("trainer") else 4096
         self.global_step = 0
         self.logger: Optional[ExperimentLogger] = None
+
+    # ----------------------------------------------------- param placement
+    def place_params(self, params: Any) -> Any:
+        """Device_put a parameter pytree per the trainer's parallelism
+        config: replicated (DP), TP specs (model axis), and/or FSDP
+        shardings over the data axis (``trainer.fsdp: true``)."""
+        if self._fsdp:
+            from ..parallel import fsdp
+            return fsdp.shard_params(params, self.mesh,
+                                     min_size=self._fsdp_min_size)
+        return mesh_lib.place_params(params, self.mesh)
+
+    def init_opt_state(self, tx, params: Any) -> Any:
+        """Optimizer-state init following the params' shardings (Adam
+        moments come out of ``zeros_like``, so sharded params yield
+        sharded moments; replicated params get explicit replication)."""
+        if self._fsdp or mesh_lib.has_model_axis(self.mesh):
+            return tx.init(params)
+        return mesh_lib.replicate_tree(tx.init(params), self.mesh)
+
+    def place_opt_state(self, tx, params: Any, opt_state: Any) -> Any:
+        """Place a RESTORED optimizer state onto the shardings a fresh
+        ``tx.init(params)`` template would have (exact-resume path).
+        Template leaves without a mesh sharding (freshly created
+        scalars like Adam's ``count`` come out single-device) are
+        replicated over the mesh instead."""
+        if self._fsdp or mesh_lib.has_model_axis(self.mesh):
+            from jax.sharding import NamedSharding
+            template = tx.init(params)
+            repl = mesh_lib.replicated(self.mesh)
+
+            def put(z, s):
+                sh = getattr(z, "sharding", None)
+                if isinstance(sh, NamedSharding):
+                    return jax.device_put(np.asarray(s), sh)
+                return jax.device_put(np.asarray(s), repl)
+
+            return jax.tree_util.tree_map(put, template, opt_state)
+        return mesh_lib.replicate_tree(opt_state, self.mesh)
 
     # ---------------------------------------------------------------- data
     def _world(self):
@@ -211,10 +257,14 @@ class BaseTrainer:
         return None
 
     def _apply_train_state(self, state) -> None:
-        self.params = mesh_lib.replicate_tree(state["params"],
-                                              self.mesh)
-        self.opt_state = mesh_lib.replicate_tree(state["opt_state"],
-                                                 self.mesh)
+        self.params = self.place_params(state["params"])
+        tx = getattr(self, "tx", None)
+        if tx is not None:
+            self.opt_state = self.place_opt_state(
+                tx, self.params, state["opt_state"])
+        else:
+            self.opt_state = mesh_lib.replicate_tree(
+                state["opt_state"], self.mesh)
         self.global_step = int(state["step"])
         self._train_step = None
 
