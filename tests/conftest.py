@@ -50,6 +50,20 @@ def _host_fingerprint() -> str:
         import platform
 
         parts = [platform.processor()]
+    # cpuinfo alone proved insufficient (round 3): two VMs with
+    # byte-identical cpuinfo produced AOT entries differing in XLA's
+    # derived tuning features (+prefer-no-gather/-scatter), so the
+    # machine identity and the jaxlib build are mixed in as well —
+    # entries are only ever reused on the exact machine+toolchain that
+    # wrote them.
+    try:
+        with open("/etc/machine-id") as f:
+            parts.append(f.read().strip())
+    except OSError:
+        pass
+    import jaxlib
+
+    parts.append(jaxlib.__version__)
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
 
 

@@ -333,6 +333,30 @@ def test_fsdp_shards_params_with_tp_mesh(vocoder_dir, tmp_path):
 
 
 @requires_8
+def test_sequence_parallel_lvtr_step_matches_dp(vocoder_dir, tmp_path):
+    """trainer.sequence_parallel: true (with model_parallel) reproduces
+    the plain-DP metrics — the T-sharded residual-stream constraints
+    change the collective schedule, not the math."""
+    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
+
+    dp = _trainer(vocoder_dir, tmp_path / "dp", fsdp_on=False)
+    hp = Hparams.from_yaml(TRAIN_HP.format(
+        fsdp="false", log_dir=tmp_path / "sp", vocoder_dir=vocoder_dir))
+    hp.trainer.model_parallel = 2
+    hp.trainer.sequence_parallel = True
+    sp = LVTRTrainer(hp)
+    assert dict(sp.mesh.shape) == {"data": 4, "model": 2}
+    assert sp._seq_parallel
+
+    m_dp = dp.run_step(_batch())
+    m_sp = sp.run_step(_batch())
+    for k in m_dp:
+        np.testing.assert_allclose(
+            float(m_dp[k]), float(m_sp[k]), rtol=5e-5, atol=1e-6,
+            err_msg=f"metric {k} diverged between DP and TP+SP")
+
+
+@requires_8
 def test_flash_mesh_activates_on_data_only_mesh():
     from vae_gslm_tpu.parallel import tp
 

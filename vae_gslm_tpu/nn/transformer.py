@@ -74,18 +74,23 @@ class TransformerLayer(nnx.Module):
                             return_kv=return_kv)
         if "rpe_bias" in sa:
             output["rpe_bias"] = sa["rpe_bias"]
-        x = tgt.value + sa["output"].value
+        # Sequence-parallel residual stream: a no-op unless a
+        # sequence_parallel() mesh is ambient (parallel/tp.py), in
+        # which case the constraints below shard T over the model axis
+        # for the norm/residual regions between the TP matmuls.
+        from ..parallel.tp import constrain_seq
+        x = constrain_seq(tgt.value + sa["output"].value)
         if not self.preln:
             x = self.norm1(x)
         if self.cross_attn is not None:
             n_x = self.norm2(x) if self.preln else x
             ca = self.cross_attn(Masked(n_x, lengths, 1).apply_mask(),
                                  memory, return_attn=return_attn)
-            x = x + ca["output"].value
+            x = constrain_seq(x + ca["output"].value)
             if not self.preln:
                 x = self.norm2(x)
         n_x = self.norm3(x) if self.preln else x
-        x = x + self._ffn(n_x)
+        x = constrain_seq(x + self._ffn(n_x))
         if not self.preln:
             x = self.norm3(x)
         output["output"] = Masked(x, lengths, 1).apply_mask()

@@ -146,6 +146,62 @@ def active_flash_mesh(nheads: int, batch: int) -> Optional[Mesh]:
     return mesh
 
 
+# ---------------------------------------------------------------------
+# Sequence parallelism (Megatron-style SP over the model axis).
+#
+# With TP alone every device holds the FULL (B, T, D) residual stream:
+# the norm/residual/elementwise regions between the sharded matmuls are
+# replicated work, and the row-parallel matmul outputs are combined
+# with an all-reduce.  Constraining the residual stream to
+# ``P(data, "model", None)`` — the sequence dimension sharded over the
+# model axis — lets XLA's SPMD partitioner turn each all-reduce into a
+# reduce-scatter (half the bytes) and run every norm/residual-add on
+# 1/n_model of the activations; the all-gather back to full T happens
+# only at the next column-parallel matmul.  Pure annotations: no model
+# math changes, exactness is bit-preserved per position (norms reduce
+# over D only).
+#
+# Enable via ``hp.trainer.sequence_parallel: true`` (requires a model
+# axis; positions with T not divisible by n_model — e.g. decode steps
+# with T=1 — are silently left unconstrained).
+
+_ACTIVE_SEQ_MESH = None
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Optional[Mesh]):
+    """Activate residual-stream sequence sharding for ``mesh`` (no-op
+    unless the mesh has a model axis with size > 1)."""
+    global _ACTIVE_SEQ_MESH
+    prev = _ACTIVE_SEQ_MESH
+    if mesh is not None and _axis(mesh, "model"):
+        _ACTIVE_SEQ_MESH = mesh
+    else:
+        _ACTIVE_SEQ_MESH = None
+    try:
+        yield
+    finally:
+        _ACTIVE_SEQ_MESH = prev
+
+
+def constrain_seq(x):
+    """``with_sharding_constraint`` to ``P(data, "model", None)`` when a
+    sequence-parallel mesh is ambient and the (B, T, D) shape divides
+    evenly; identity otherwise (incl. under decode's T=1 steps)."""
+    mesh = _ACTIVE_SEQ_MESH
+    if mesh is None or getattr(x, "ndim", 0) != 3:
+        return x
+    data, model = _axis(mesh, "data"), _axis(mesh, "model")
+    shape = dict(mesh.shape)
+    b, t = x.shape[0], x.shape[1]
+    if t % shape["model"]:
+        return x
+    if data and b % shape["data"]:
+        data = None
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(data, "model", None)))
+
+
 def shard_map_flash(q, k, v, lengths, slopes, causal: bool,
                     mesh: Mesh):
     """Run ops/flash_attention.py per device over the mesh:

@@ -139,9 +139,10 @@ class DiscreteARTrainer(BaseTrainer):
         if self._fuse_accum:
             batch = trainer_lib.fuse_microbatches(batch)
         batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, batch,
-            jnp.asarray(self.global_step))
+        with self.parallel_context():
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, batch,
+                jnp.asarray(self.global_step))
         n = metrics.pop("length")
         metrics["kld"] = metrics["kld"] / n
         if "f0_loss" in metrics:

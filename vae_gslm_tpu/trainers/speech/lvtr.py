@@ -249,9 +249,10 @@ class LVTRTrainer(BaseTrainer):
         # Micro-batch axis is leading: shard on axis 1 (batch).
         batch = mesh_lib.shard_batch(stacked_batch, self.mesh, axis=1)
         self.rng, key = jax.random.split(self.rng)
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.rest, self.opt_state, batch,
-            jnp.asarray(self.global_step), key)
+        with self.parallel_context():
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.rest, self.opt_state, batch,
+                jnp.asarray(self.global_step), key)
         n = metrics.pop("length")
         for k in ("kld", "rec_loss", "token_kld"):
             if k in metrics:

@@ -158,9 +158,10 @@ class LVTTSTrainer(BaseTrainer):
             batch = trainer_lib.fuse_microbatches(batch)
         batch = mesh_lib.shard_batch(batch, self.mesh, axis=1)
         self.rng, key = jax.random.split(self.rng)
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.rest, self.opt_state, batch,
-            jnp.asarray(self.global_step), key)
+        with self.parallel_context():
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.rest, self.opt_state, batch,
+                jnp.asarray(self.global_step), key)
         n = metrics.pop("length")
         for k in ("kld", "rec_loss"):
             metrics[k] = metrics[k] / n

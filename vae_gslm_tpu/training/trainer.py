@@ -16,6 +16,7 @@ masked sums accumulated via repeated backward).
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import time
@@ -150,8 +151,23 @@ class BaseTrainer:
             if hp.has("trainer") else False
         self._fsdp_min_size = hp.trainer.get(
             "fsdp_min_size", 4096) if hp.has("trainer") else 4096
+        # Megatron-style sequence parallelism: shard the residual
+        # stream's T over the model axis between the TP matmuls
+        # (parallel/tp.py::sequence_parallel; needs model_parallel > 1).
+        self._seq_parallel = bool(hp.trainer.get(
+            "sequence_parallel", False)) if hp.has("trainer") else False
         self.global_step = 0
         self.logger: Optional[ExperimentLogger] = None
+
+    def parallel_context(self):
+        """Ambient parallelism for a train/eval/sampling step: the
+        shard_mapped flash-attention mesh, plus sequence-parallel
+        residual-stream constraints when configured."""
+        ctx = contextlib.ExitStack()
+        ctx.enter_context(tp.flash_mesh(self.mesh))
+        if self._seq_parallel:
+            ctx.enter_context(tp.sequence_parallel(self.mesh))
+        return ctx
 
     # ----------------------------------------------------- param placement
     def place_params(self, params: Any) -> Any:
@@ -356,7 +372,7 @@ class BaseTrainer:
                     except Exception as e:  # tunneled platforms may
                         log.warning("profiler unavailable: %s", e)
                         profiled = True
-                with tp.flash_mesh(self.mesh):
+                with self.parallel_context():
                     metrics = self.run_step(stacked)
                 if profile_dir and not profiled \
                         and self.global_step == 12:
@@ -376,7 +392,7 @@ class BaseTrainer:
                         self.global_step)
                 if val_interval and \
                         self.global_step % val_interval == 0:
-                    with tp.flash_mesh(self.mesh):
+                    with self.parallel_context():
                         self.validation_run(self.global_step)
                     self.checkpoint()
                 if getattr(self, "_preempted", False):
@@ -387,7 +403,7 @@ class BaseTrainer:
                     return
                 if self.global_step >= total_steps:
                     break
-        with tp.flash_mesh(self.mesh):
+        with self.parallel_context():
             self.validation_run(self.global_step)
         self.checkpoint()
         restore_sig()
