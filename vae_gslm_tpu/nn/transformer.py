@@ -179,6 +179,12 @@ class TransformerLayerStack(nnx.Module):
                 hp.layer.self_attn.nheads, rngs=rngs)
         else:
             self.rpe_id, self.rpe = None, None
+        # remat: true — wrap each layer's training forward in
+        # jax.checkpoint so the backward pass recomputes the block's
+        # activations instead of storing them (the standard HBM trade
+        # once batch*T*dim*layers outgrows the chip).  Decode paths and
+        # attn/kv-returning calls are unaffected.
+        self.remat = bool(hp.get("remat", False))
 
     @property
     def dim(self) -> int:
@@ -220,10 +226,42 @@ class TransformerLayerStack(nnx.Module):
         rpe_pair = (self.rpe_id, self.rpe)
         rpe_bias = None
         output_layers = []
+        # Rematerialized per-layer call (training path only: the
+        # attn/kv-returning and cached-decode variants keep their
+        # activations).  Plain jax.checkpoint over an explicit
+        # split/merge — the layer and shared-RPE state ride through as
+        # checkpoint INPUTS, so gradients flow to every parameter
+        # (including a learned T5 bias table) and nothing is baked into
+        # the closure as a constant.
+        use_remat = (self.remat and not return_attn and not return_kv)
+        rpe_split = None
+        if use_remat and self.rpe is not None:
+            rpe_split = nnx.split(self.rpe)
         for i, mod in enumerate(self.layers):
-            res = mod(output, memory, rpe_pair=rpe_pair, rpe_bias=rpe_bias,
-                      past_kv=past_kv[i], return_attn=return_attn,
-                      return_kv=return_kv)
+            if use_remat and past_kv[i] is None:
+                layer_def, layer_state = nnx.split(mod)
+                use_pair = rpe_pair is not None
+                rpe_state = rpe_split[1] if (use_pair and
+                                             rpe_split is not None) \
+                    else None
+
+                def _layer_call(layer_state, rpe_state, out, mem, bias,
+                                _def=layer_def, _use_pair=use_pair):
+                    m = nnx.merge(_def, layer_state)
+                    pair = None
+                    if _use_pair:
+                        rpe_mod = (nnx.merge(rpe_split[0], rpe_state)
+                                   if rpe_state is not None else None)
+                        pair = (self.rpe_id, rpe_mod)
+                    return m(out, mem, rpe_pair=pair, rpe_bias=bias)
+
+                res = jax.checkpoint(_layer_call)(
+                    layer_state, rpe_state, output, memory, rpe_bias)
+            else:
+                res = mod(output, memory, rpe_pair=rpe_pair,
+                          rpe_bias=rpe_bias,
+                          past_kv=past_kv[i], return_attn=return_attn,
+                          return_kv=return_kv)
             if "rpe_bias" in res:
                 rpe_pair = None
                 rpe_bias = res["rpe_bias"]
