@@ -286,6 +286,25 @@ def test_discrete_ar_trainer_and_sampler(corpus, hubert_codec_dir,
     logger.close()
 
 
+def test_fit_accumulates_across_epoch_boundary(corpus, hubert_codec_dir,
+                                               tmp_path_factory):
+    """Regression: a dataset yielding fewer batches per epoch than the
+    grad-accum count (here 1 batch/epoch, accum 2) must still make
+    optimizer progress — the accumulator used to reset every epoch and
+    fit() spun forever (4 h of data loading, zero steps in a CLI
+    drive)."""
+    from vae_gslm_tpu.trainers.speech.discrete import DiscreteARTrainer
+    hp = _discrete_hp(corpus, hubert_codec_dir)
+    hp.data.train.batch_size = 4         # 4 utts -> 1 batch/epoch
+    hp.training.gradient_accumulation = 2
+    trainer = DiscreteARTrainer(hp)
+    logger = ExperimentLogger(str(tmp_path_factory.mktemp("acc_exp")))
+    trainer.fit(logger, max_steps=1, val_check_interval=10 ** 9,
+                log_every=1)
+    assert trainer.global_step == 1
+    logger.close()
+
+
 def test_hubert_decoder_trainer(corpus, vocoder_dir, tmp_path_factory):
     hp = Hparams.from_yaml(f"""
 trainer:

@@ -355,11 +355,20 @@ class BaseTrainer:
         t0 = time.time()
         profiled = False
         epoch = 0
+        # The micro-batch accumulator deliberately carries across epoch
+        # boundaries: a dataset yielding fewer batches per epoch than
+        # the grad-accum count would otherwise reset it every epoch and
+        # spin forever — burning CPU on data loading with zero
+        # optimizer steps (hit by a tiny-corpus CLI drive; 4 h, 0
+        # steps).  The reference's Lightning loop can't hit this (it
+        # flushes incomplete accumulation groups at epoch end).
+        micro: list = []
         while self.global_step < total_steps:
             loader.sampler.set_epoch(epoch)
             epoch += 1
-            micro: list = []
+            yielded = False
             for batch in loader:
+                yielded = True
                 micro.append(batch)
                 if len(micro) < accum:
                     continue
@@ -403,6 +412,10 @@ class BaseTrainer:
                     return
                 if self.global_step >= total_steps:
                     break
+            if not yielded:
+                raise RuntimeError(
+                    "train dataloader yielded no batches — dataset "
+                    "smaller than the (distributed) batch size?")
         with self.parallel_context():
             self.validation_run(self.global_step)
         self.checkpoint()
