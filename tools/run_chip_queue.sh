@@ -16,6 +16,10 @@ log "bench B=16"
 BENCH_BATCH=16 timeout 2400 python bench.py > chip_results/bench_b16.json 2> chip_results/bench_b16.err
 log "bench B=8"
 BENCH_BATCH=8 timeout 2400 python bench.py > chip_results/bench_b8.json 2> chip_results/bench_b8.err
+log "bench B=32"
+BENCH_BATCH=32 timeout 2400 python bench.py > chip_results/bench_b32.json 2> chip_results/bench_b32.err
+log "bench B=64"
+BENCH_BATCH=64 timeout 2400 python bench.py > chip_results/bench_b64.json 2> chip_results/bench_b64.err
 
 log "train smoke 300 steps"
 timeout 5400 python tools/train_smoke.py 300 10 > chip_results/train_smoke.log 2>&1
