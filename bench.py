@@ -27,35 +27,22 @@ import sys
 import time
 
 
-def _probe_devices(timeout_s: int = 180) -> None:
-    """Fail fast (clear JSON + non-zero exit) when the tunneled TPU
-    platform is unreachable: ``jax.devices()`` hangs indefinitely
-    during an axon-tunnel outage, which would otherwise turn a
-    diagnosable infrastructure failure into a silent driver timeout."""
-    import subprocess
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vae_gslm_tpu.core.probe import probe_devices
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; assert jax.devices()"],
-            timeout=timeout_s, check=True, capture_output=True)
-    except (subprocess.TimeoutExpired,
-            subprocess.CalledProcessError) as e:
+    err = probe_devices()
+    if err is not None:
+        # Fail fast with a diagnosable JSON line instead of letting
+        # jax.devices() hang into a silent driver timeout.
         print(json.dumps({
-            "metric": "UNMEASURED: accelerator unreachable (device "
-                      "enumeration failed/timed out — axon tunnel "
-                      f"outage?): {type(e).__name__}",
+            "metric": f"UNMEASURED: accelerator unreachable ({err})",
             "value": 0,
             "unit": "error",
             "vs_baseline": 0,
         }))
         sys.exit(1)
-
-
-def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    if os.environ.get("VAE_GSLM_SKIP_DEVICE_PROBE") != "1" \
-            and not os.environ.get("VAE_GSLM_FORCE_CPU"):
-        _probe_devices()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -362,8 +362,9 @@ def test_flash_mesh_activates_on_data_only_mesh():
 
     mesh = mesh_lib.create_mesh(8)
     with tp.flash_mesh(mesh):
-        assert tp.active_flash_mesh(4, 16) is mesh    # 16 % 8 == 0
-        assert tp.active_flash_mesh(4, 4) is None     # 4 % 8 != 0
+        assert tp.active_flash_mesh(4, 16) == (mesh, "data", None)
+        # 4 % 8 != 0 and there's no model axis -> nothing to shard
+        assert tp.active_flash_mesh(4, 4) is None
     assert tp.active_flash_mesh(4, 16) is None
 
     # numeric parity of the shard_mapped flash path on a data-only mesh
@@ -379,5 +380,5 @@ def test_flash_mesh_activates_on_data_only_mesh():
         jnp.asarray(lengths), None, True))
     got = np.asarray(tp.shard_map_flash(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-        jnp.asarray(lengths), None, True, mesh))
+        jnp.asarray(lengths), None, True, (mesh, "data", None)))
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)

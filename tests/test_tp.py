@@ -223,11 +223,15 @@ def test_tp_flash_attention_shard_map():
     mesh = tp.create_mesh_2d(4, 2)
     placed = tp.shard_params(params, mesh)
 
-    # ambient mesh gates: divisible heads/batch only
+    # ambient mesh gates: an indivisible axis is dropped, not fatal
     with tp.flash_mesh(mesh):
-        assert tp.active_flash_mesh(4, 4) is mesh
-        assert tp.active_flash_mesh(3, 4) is None   # 3 heads % 4
-        assert tp.active_flash_mesh(4, 3) is None   # batch % data
+        assert tp.active_flash_mesh(4, 4) == (mesh, "data", "model")
+        # 3 heads % 4 -> model dropped, batch still shards on data
+        assert tp.active_flash_mesh(3, 4) == (mesh, "data", None)
+        # batch 3 % data 2 -> data dropped, heads still shard on model
+        assert tp.active_flash_mesh(4, 3) == (mesh, None, "model")
+        # neither divides -> nothing to shard
+        assert tp.active_flash_mesh(3, 3) is None
     assert tp.active_flash_mesh(4, 4) is None       # context exited
 
     rng = np.random.RandomState(0)

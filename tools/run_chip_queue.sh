@@ -1,6 +1,6 @@
 #!/bin/bash
 # Chip-gated round-3 items, run unattended once the axon tunnel is back:
-#   1. headline + serving-ladder bench points (B=128 / 16 / 8)
+#   1. headline + serving-ladder bench points (B=128 / 16 / 8 / 32 / 64)
 #   2. flagship-dims convergence smoke (VERDICT r2 item 6 chip half)
 #   3. fuse-accumulation A/B (steady-state ms/step; decides the default)
 #   4. microbatch grad timing (training step number)

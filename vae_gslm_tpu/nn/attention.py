@@ -210,13 +210,13 @@ class SelfAttention(nnx.Module):
             vh = jnp.transpose(_split_heads(v, self.nheads),
                                (0, 2, 1, 3))
             from ..parallel import tp
-            tp_mesh = tp.active_flash_mesh(self.nheads,
-                                           qh.shape[0])
-            if tp_mesh is not None:
+            mesh_axes = tp.active_flash_mesh(self.nheads,
+                                             qh.shape[0])
+            if mesh_axes is not None:
                 # GSPMD cannot partition the Pallas custom call;
                 # shard_map runs it per device over (data, model).
                 out = tp.shard_map_flash(qh, kh, vh, x.lengths,
-                                         slopes, True, tp_mesh)
+                                         slopes, True, mesh_axes)
             else:
                 out = flash_attention(qh, kh, vh, x.lengths, slopes,
                                       True)

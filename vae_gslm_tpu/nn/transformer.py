@@ -22,6 +22,7 @@ from flax import nnx
 from ..core.masked import Masked
 from ..core.precision import get_policy
 from ..hparams.hp import Hparams
+from ..parallel.tp import constrain_seq
 from .activations import get_activation
 from .attention import (NEG_INF, CrossAttention, LayerKVCache,
                         SelfAttention)
@@ -78,7 +79,6 @@ class TransformerLayer(nnx.Module):
         # sequence_parallel() mesh is ambient (parallel/tp.py), in
         # which case the constraints below shard T over the model axis
         # for the norm/residual regions between the TP matmuls.
-        from ..parallel.tp import constrain_seq
         x = constrain_seq(tgt.value + sa["output"].value)
         if not self.preln:
             x = self.norm1(x)

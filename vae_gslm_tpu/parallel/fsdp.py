@@ -94,16 +94,3 @@ def shard_params(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(put, params)
 
 
-def shard_like_shapes(tree: Any, mesh: Mesh,
-                      min_size: int = DEFAULT_MIN_SIZE) -> Any:
-    """Place an arbitrary pytree (e.g. a restored optimizer state) by
-    the shape-only FSDP rule — matches ``shard_params`` on a 1-D data
-    mesh, where the spec depends only on the leaf's shape."""
-    n_data = dict(mesh.shape).get("data", mesh.devices.size)
-
-    def put(x):
-        x = np.asarray(x)
-        spec = fsdp_spec(x.shape, n_data, None, min_size)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map(put, tree)

@@ -27,7 +27,7 @@ multi-device DP.
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -130,20 +130,25 @@ def _axis(mesh: Mesh, name: str) -> Optional[str]:
     return None
 
 
-def active_flash_mesh(nheads: int, batch: int) -> Optional[Mesh]:
-    """The ambient mesh, if flash attention can shard over it
-    (heads divisible by the model axis, batch by the data axis)."""
+def active_flash_mesh(nheads: int, batch: int
+                      ) -> Optional[Tuple[Mesh, Optional[str],
+                                          Optional[str]]]:
+    """(mesh, data_axis, model_axis) for sharding flash attention over
+    the ambient mesh, dropping any axis whose dimension doesn't divide
+    (heads on the model axis, batch on the data axis) — one
+    indivisible axis no longer disables the other.  None when neither
+    axis is usable."""
     mesh = _ACTIVE_FLASH_MESH
     if mesh is None:
         return None
     model, data = _axis(mesh, "model"), _axis(mesh, "data")
     if model and nheads % dict(mesh.shape)["model"]:
-        return None
+        model = None
     if data and batch % dict(mesh.shape)["data"]:
-        return None
+        data = None
     if not model and not data:
         return None
-    return mesh
+    return mesh, data, model
 
 
 # ---------------------------------------------------------------------
@@ -203,16 +208,18 @@ def constrain_seq(x):
 
 
 def shard_map_flash(q, k, v, lengths, slopes, causal: bool,
-                    mesh: Mesh):
+                    mesh_axes: Tuple[Mesh, Optional[str],
+                                     Optional[str]]):
     """Run ops/flash_attention.py per device over the mesh:
     q/k/v (B, H, T, D) sharded (data, model); lengths on data;
-    slopes on model (replicated on a data-only mesh)."""
+    slopes on model (replicated on a data-only mesh).  ``mesh_axes``
+    is ``active_flash_mesh``'s result — an axis already dropped there
+    (indivisible heads/batch) stays unsharded here."""
     from jax.experimental.shard_map import shard_map
 
     from ..ops.flash_attention import flash_attention
 
-    data = _axis(mesh, "data")
-    model = _axis(mesh, "model")
+    mesh, data, model = mesh_axes
     qspec = P(data, model, None, None)
 
     if slopes is None:
