@@ -10,11 +10,53 @@ deterministic samplers.
 """
 from __future__ import annotations
 
+import logging
+import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
+
+
+def init_distributed() -> bool:
+    """Initialize JAX's multi-process runtime for multi-HOST training
+    (beyond the reference's single-machine DDP).
+
+    Two launch modes, both env-gated (no-op when neither is set):
+
+    * explicit single-controller launch — ``VAE_GSLM_COORDINATOR``
+      (host:port), ``VAE_GSLM_NUM_PROCESSES``, ``VAE_GSLM_PROCESS_ID``;
+      used by the 2-process CPU integration test
+      (``tests/test_multihost.py``) and any manual pod launch;
+    * ``VAE_GSLM_AUTO_DISTRIBUTED=1`` — ``jax.distributed.initialize()``
+      auto-detects coordinator/rank from the TPU pod metadata.
+
+    CPU processes use the gloo collectives backend so the virtual-mesh
+    tests exercise real cross-process collectives.  Must run before
+    first device use."""
+    coord = os.environ.get("VAE_GSLM_COORDINATOR")
+    auto = os.environ.get("VAE_GSLM_AUTO_DISTRIBUTED")
+    if not coord and not auto:
+        return False
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:          # knob name varies across jax versions
+        pass
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["VAE_GSLM_NUM_PROCESSES"]),
+            process_id=int(os.environ["VAE_GSLM_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+    log.info("jax.distributed initialized: process %d/%d, "
+             "%d local / %d global devices", jax.process_index(),
+             jax.process_count(), jax.local_device_count(),
+             jax.device_count())
+    return True
 
 
 def create_mesh(n_devices: Optional[int] = None,
@@ -40,17 +82,43 @@ def shard_batch(batch: Any, mesh: Mesh,
     grad-accum-stacked ``(accum, B, ...)`` micro-batches (sharding the
     tiny accum axis would be wrong: ``lax.scan`` slices it
     sequentially).  Leaves too small or indivisible on ``axis`` are
-    replicated (scalars, odd eval batches)."""
+    replicated (scalars, odd eval batches).
+
+    Multi-process (the mesh spans hosts): this process's leaves are its
+    LOCAL rows of the global batch — the per-rank samplers yield
+    disjoint data, exactly like the reference's DDP per-rank loaders —
+    and ``jax.make_array_from_process_local_data`` assembles the
+    global sharded array.  Indivisible leaves raise here rather than
+    silently replicating PER-PROCESS data that differs across ranks."""
     repl = replicated(mesh)
     n_data = dict(mesh.shape).get(axis_name, mesh.devices.size)
+    nproc = jax.process_count()
+    multiproc = nproc > 1 and len(
+        {d.process_index for d in mesh.devices.flat}) > 1
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim <= axis or x.shape[axis] % n_data != 0:
-            return jax.device_put(x, repl)
+        if not multiproc:
+            if x.ndim <= axis or x.shape[axis] % n_data != 0:
+                return jax.device_put(x, repl)
+            spec = [None] * x.ndim
+            spec[axis] = axis_name
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        if x.ndim <= axis:
+            # Replicated leaf: every rank must pass identical data
+            # (true for the deterministic samplers' metadata).
+            return jax.make_array_from_process_local_data(repl, x)
+        g = list(x.shape)
+        g[axis] = x.shape[axis] * nproc
+        if g[axis] % n_data != 0 or x.shape[axis] % (n_data // nproc):
+            raise ValueError(
+                f"local batch dim {x.shape[axis]} (global {g[axis]}) "
+                f"not divisible over the {n_data}-device {axis_name} "
+                f"axis across {nproc} processes")
         spec = [None] * x.ndim
         spec[axis] = axis_name
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sh = NamedSharding(mesh, P(*spec))
+        return jax.make_array_from_process_local_data(sh, x, tuple(g))
 
     return jax.tree_util.tree_map(put, batch)
 

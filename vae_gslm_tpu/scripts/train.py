@@ -39,6 +39,11 @@ def main() -> None:
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
+    # Multi-HOST runtime (env-gated no-op otherwise; must precede
+    # first device use — see parallel/mesh.py::init_distributed).
+    from ..parallel import mesh as mesh_lib
+    mesh_lib.init_distributed()
+
     from ..hparams.hp import Hparams
     from ..core import precision
     from ..training.logging import ExperimentLogger

@@ -158,6 +158,10 @@ class BaseTrainer:
             "sequence_parallel", False)) if hp.has("trainer") else False
         self.global_step = 0
         self.logger: Optional[ExperimentLogger] = None
+        # Multi-host: rank 0 owns artifact writes (scalars, compact
+        # checkpoints); orbax full-state saves run on every rank
+        # (orbax coordinates the single writer itself).
+        self._is_main = mesh_lib.process_index() == 0
 
     def parallel_context(self):
         """Ambient parallelism for a train/eval/sampling step: the
@@ -396,13 +400,24 @@ class BaseTrainer:
                     metrics["steps_per_sec"] = log_every / (
                         time.time() - t0)
                     t0 = time.time()
-                    logger.log_scalars(
-                        {f"train/{k}": v for k, v in metrics.items()},
-                        self.global_step)
+                    if self._is_main:
+                        logger.log_scalars(
+                            {f"train/{k}": v
+                             for k, v in metrics.items()},
+                            self.global_step)
                 if val_interval and \
                         self.global_step % val_interval == 0:
-                    with self.parallel_context():
-                        self.validation_run(self.global_step)
+                    if mesh_lib.process_count() == 1:
+                        with self.parallel_context():
+                            self.validation_run(self.global_step)
+                    else:
+                        # Multi-host validation would need every rank
+                        # to run the val graph in lockstep; skipped for
+                        # now — run eval single-host on the compact
+                        # checkpoint instead.
+                        log.warning("multi-host run: skipping "
+                                    "validation at step %d",
+                                    self.global_step)
                     self.checkpoint()
                 if getattr(self, "_preempted", False):
                     self.checkpoint()
@@ -416,20 +431,23 @@ class BaseTrainer:
                 raise RuntimeError(
                     "train dataloader yielded no batches — dataset "
                     "smaller than the (distributed) batch size?")
-        with self.parallel_context():
-            self.validation_run(self.global_step)
+        if mesh_lib.process_count() == 1:
+            with self.parallel_context():
+                self.validation_run(self.global_step)
         self.checkpoint()
         restore_sig()
 
     def checkpoint(self) -> None:
         if self.logger is None:
             return
-        path = os.path.join(
-            self.logger.ckpt_path,
-            f"step={self.global_step}-cpt.npz")
-        self.save_checkpoint(path)
-        last = os.path.join(self.logger.ckpt_path, "last-cpt.npz")
-        self.save_checkpoint(last)
+        if self._is_main:
+            path = os.path.join(
+                self.logger.ckpt_path,
+                f"step={self.global_step}-cpt.npz")
+            self.save_checkpoint(path)
+            last = os.path.join(self.logger.ckpt_path, "last-cpt.npz")
+            self.save_checkpoint(last)
+        # every rank participates: orbax coordinates the single writer
         self.save_full_state(
             os.path.join(self.logger.ckpt_path, "full_state"))
 
