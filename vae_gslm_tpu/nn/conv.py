@@ -74,14 +74,40 @@ class Conv1d(nnx.Module):
 
     def __call__(self, x: Array) -> Array:
         dt = get_policy().compute_dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt), self.kernel[...].astype(dt),
-            window_strides=(self.stride,),
-            padding=[self.padding],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
-        )
+        kernel = self.kernel[...].astype(dt)
+        if self.groups > 1 and kernel.shape[1] == 1 \
+                and kernel.shape[2] == self.groups:
+            # Pure depthwise: K shifted elementwise multiplies instead
+            # of a feature_group_count conv.  Two reasons: (a) XLA's
+            # SPMD partitioner mis-reduces the grouped-conv WEIGHT
+            # gradient on multi-axis meshes — dW comes back multiplied
+            # by the size of every mesh axis the batch is NOT sharded
+            # over (repro: tests/test_pp.py::
+            # test_depthwise_grad_correct_on_2d_mesh); the elementwise
+            # formulation's autodiff is a plain reduce that partitions
+            # correctly.  (b) grouped convs lower poorly onto the MXU
+            # anyway — K small (3-7) shifted VPU multiplies fuse.
+            k = kernel.shape[0]
+            xp = jnp.pad(x.astype(dt),
+                         ((0, 0), self.padding, (0, 0)))
+            span = (k - 1) * self.dilation + 1
+            t_out = (xp.shape[1] - span) // self.stride + 1
+            y = None
+            for j in range(k):
+                lo = j * self.dilation
+                xs = xp[:, lo:lo + (t_out - 1) * self.stride + 1
+                        :self.stride]
+                term = xs * kernel[j, 0]
+                y = term if y is None else y + term
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel,
+                window_strides=(self.stride,),
+                padding=[self.padding],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=self.groups,
+            )
         if self.bias is not None:
             y = y + self.bias[...].astype(dt)
         return y

@@ -222,6 +222,36 @@ class TransformerLayerStack(nnx.Module):
             outputs["kv"] = []
         if past_kv is None:
             past_kv = [None] * len(self.layers)
+        # Pipeline-parallel trunk (parallel/pp.py): GPipe schedule
+        # over an ambient ("data", "pipe") mesh when eligible — the
+        # same stacked-weights constraints as the fused decode paths.
+        from ..parallel import pp as pp_lib
+        pp_ctx = pp_lib.active_pipeline()
+        if pp_ctx is not None and memory is None \
+                and not return_attn and not return_kv \
+                and all(p is None for p in past_kv):
+            mesh, n_micro = pp_ctx
+            shape = dict(mesh.shape)
+            b = tgt.value.shape[0]
+            if (self.num_layers % shape["pipe"] == 0
+                    and b % n_micro == 0
+                    and (b // n_micro) % shape.get("data", 1) == 0
+                    and self.supports_stacked_decode()):
+                output, _ = self._project_in(tgt, None)
+                value = pp_lib.pipeline_apply(
+                    self, output.value, output.lengths, mesh, n_micro)
+                output = Masked(value, tgt.lengths, 1).apply_mask()
+                output_layers = [output]
+                if self.final_norm is not None:
+                    output = Masked(self.final_norm(output.value),
+                                    output.lengths, 1)
+                    output_layers.append(output)
+                if self.out is not None:
+                    output = Masked(self.out(output.value),
+                                    output.lengths, 1).apply_mask()
+                outputs["output"] = output
+                outputs["layers"] = output_layers
+                return outputs
         output, memory = self._project_in(tgt, memory)
         rpe_pair = (self.rpe_id, self.rpe)
         rpe_bias = None

@@ -135,7 +135,18 @@ class BaseTrainer:
             else None
         mp = hp.trainer.get("model_parallel", None) if hp.has("trainer") \
             else None
-        if mp and mp > 1:
+        pp_n = hp.trainer.get("pipeline_parallel", None) \
+            if hp.has("trainer") else None
+        self._pp_micro = int(hp.trainer.get(
+            "pipeline_microbatches", pp_n or 0)) if hp.has("trainer") \
+            else 0
+        if pp_n and pp_n > 1:
+            # ("data", "pipe") mesh: GPipe pipeline over the trunk's
+            # layer dimension (parallel/pp.py; beyond-reference).
+            from ..parallel import pp as pp_lib
+            self.mesh = pp_lib.create_mesh_pipe(
+                pp_n, n_dev // pp_n if n_dev else None)
+        elif mp and mp > 1:
             # (data, model) mesh: Megatron-style tensor parallelism for
             # the transformer trunk via sharding annotations alone
             # (parallel/tp.py); beyond the reference's DDP-only scale.
@@ -171,6 +182,11 @@ class BaseTrainer:
         ctx.enter_context(tp.flash_mesh(self.mesh))
         if self._seq_parallel:
             ctx.enter_context(tp.sequence_parallel(self.mesh))
+        if "pipe" in self.mesh.axis_names \
+                and dict(self.mesh.shape)["pipe"] > 1:
+            from ..parallel import pp as pp_lib
+            ctx.enter_context(pp_lib.pipeline(self.mesh,
+                                              self._pp_micro))
         return ctx
 
     # ----------------------------------------------------- param placement
