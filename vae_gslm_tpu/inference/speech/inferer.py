@@ -96,6 +96,12 @@ def vad_trim(wave: np.ndarray, sr: int, segments) -> np.ndarray:
 class SpeechInferer(BaseInferer):
     def __init__(self, hp: Hparams):
         super().__init__(hp)
+        # Multi-chip serving: shard the sampling batch over the
+        # inferer's data mesh.  Single chip keeps mesh=None — the
+        # mega/stacked fused decode paths (the B<=16 serving defaults)
+        # are single-mesh only, and a 1-device mesh would disable
+        # them.  `data_parallel: false` opts out.
+        self._use_mesh = bool(hp.get("data_parallel", True))
         self.mel_rescale = None
         if self.hp_model.training.has("mel_rescale"):
             self.mel_rescale = self.hp_model.training.mel_rescale
@@ -111,7 +117,8 @@ class SpeechInferer(BaseInferer):
             self.codec = codec
             self.input_key = ("dedup_tokens" if self.deduplicate
                               else "tokens")
-            self.sampler = DiscreteARSampler(self.model)
+            self.sampler = DiscreteARSampler(
+                self.model, mesh=self._serving_mesh())
         else:
             self.type = "lvtr"
             self.vocoder = HiFiGAN.from_pretrained(
@@ -124,7 +131,8 @@ class SpeechInferer(BaseInferer):
                 kv_dtype = jnp.int8
             self.sampler = ARTRSampler(
                 self.model, kv_dtype=kv_dtype,
-                quantize_weights=hp.get("weight_dtype", None) == "int8")
+                quantize_weights=hp.get("weight_dtype", None) == "int8",
+                mesh=self._serving_mesh())
         self.use_tokens = getattr(self.model, "use_tokens", False)
         if self.use_tokens:
             self.hp_hubert = Hparams(
@@ -144,6 +152,11 @@ class SpeechInferer(BaseInferer):
             if self.vad_pipeline is None:
                 log.warning("pyannote unavailable; using energy VAD")
         self.sampled = 0
+
+    def _serving_mesh(self):
+        if self._use_mesh and self.mesh.devices.size > 1:
+            return self.mesh
+        return None
 
     # ----------------------------------------------------------------
     def test_dataloader(self):
