@@ -90,6 +90,30 @@ def test_mega_kernel_matches_reference(flushed, pos):
             rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("nslot", [2, 3])
+def test_mega_kernel_streamed_slots_match_reference(nslot):
+    """Double-buffered cold-slot streaming (nslot < nblk — the
+    VMEM-bounded large-batch configuration) must be numerically
+    identical to the one-slot-per-block prefetch path."""
+    m = _stack()
+    weights = m.build_mega_decode()
+    b = 8
+    flushed, pos = 4 * BLK, 4 * BLK + 30
+    cache = _cache(b, 4)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, D) * 0.3, jnp.float32)
+    slopes = m.rpe.slopes[...]
+    outs_k = fused_trunk_step(x, weights, cache, jnp.asarray(pos),
+                              slopes, flushed=flushed, interpret=True,
+                              nslot=nslot)
+    outs_r = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-3, atol=2e-4, err_msg=name)
+
+
 def test_stage_merge_flush_roundtrip():
     """Drive stage_append/merge_stage/flush_mega over 2*STAGE rows
     and check the rows land where the kernel's masks expect them."""

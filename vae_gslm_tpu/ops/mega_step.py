@@ -95,7 +95,7 @@ def _kernel(scalars_ref,
             x_s, qkv_s, g_s,
             kb, vb, ksb, vsb, sems,
             *, nlayers: int, nheads: int, head_dim: int, dim: int,
-            flushed: int, batch: int):
+            flushed: int, batch: int, nslot: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -127,26 +127,31 @@ def _kernel(scalars_ref,
         return y * scales
 
     def dma(layer, blk):
-        """Cold block ``blk`` of ``layer`` -> slot ``blk`` (one slot
-        per block: every block is prefetched during the PREVIOUS
-        layer's FFN phases so the attention phase only waits)."""
+        """Cold block ``blk`` of ``layer`` -> slot ``blk % nslot``.
+        With ``nslot == nblk`` (small batch) every block is prefetched
+        during the PREVIOUS layer's FFN phases so the attention phase
+        only waits; with fewer slots (large batch, VMEM-bounded) the
+        attention loop double-buffers: block ``i + nslot`` starts as
+        soon as block ``i`` has been consumed."""
+        slot = blk % nslot
         return (
             pltpu.make_async_copy(k_hbm.at[layer, blk],
-                                  kb.at[blk], sems.at[0, blk]),
+                                  kb.at[slot], sems.at[0, slot]),
             pltpu.make_async_copy(v_hbm.at[layer, blk],
-                                  vb.at[blk], sems.at[1, blk]),
+                                  vb.at[slot], sems.at[1, slot]),
             pltpu.make_async_copy(kcs_hbm.at[layer, blk],
-                                  ksb.at[blk], sems.at[2, blk]),
+                                  ksb.at[slot], sems.at[2, slot]),
             pltpu.make_async_copy(vcs_hbm.at[layer, blk],
-                                  vsb.at[blk], sems.at[3, blk]),
+                                  vsb.at[slot], sems.at[3, slot]),
         )
 
     # ------------------------------------------------ p 0: qkv
     @pl.when(jnp.logical_and(li == 0, p == 0))
     def _():
         x_s[...] = x_ref[...].astype(jnp.float32)
-        # layer 0's cold blocks: start during the qkv phase
-        for blk in range(nblk):
+        # layer 0's cold blocks (up to one per slot): start during
+        # the qkv phase
+        for blk in range(min(nblk, nslot)):
             for c in dma(0, blk):
                 c.start()
 
@@ -201,22 +206,29 @@ def _kernel(scalars_ref,
         l0 = jnp.zeros((gh, 1, 1), jnp.float32)
         acc0 = jnp.zeros((gh, 1, dh), jnp.float32)
         m, l, acc = m0, l0, acc0
-        for i in range(nblk):     # all blocks already in flight
+        for i in range(nblk):     # slot-resident blocks in flight
             for c in dma(li, i):
                 c.wait()
-            k8 = kb[i].reshape(gh, dh, BLK)
+            k8 = kb[i % nslot].reshape(gh, dh, BLK)
             s_i32 = jax.lax.dot_general(
                 q8, k8, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)
             s = (s_i32.astype(jnp.float32)
-                 * (q_scale * scale)) * ksb[i].reshape(gh, 1, BLK)
+                 * (q_scale * scale)) * ksb[i % nslot].reshape(
+                     gh, 1, BLK)
             t_idx = (i * BLK + jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, BLK), 2))
             s = s + slopes * jnp.abs(t_idx - pos).astype(jnp.float32)
-            vsl = vsb[i].reshape(gh, 1, BLK)
-            vbl = vb[i].reshape(gh, dh, BLK)
+            vsl = vsb[i % nslot].reshape(gh, 1, BLK)
+            vbl = vb[i % nslot].reshape(gh, dh, BLK)
             m, l, acc = merge(m, l, acc, s,
                               lambda e: av_i8(e, vsl, vbl, 2))
+            if i + nslot < nblk:
+                # slot ``i % nslot`` is consumed (the dots above read
+                # its data synchronously) — refill it with the block
+                # ``nslot`` ahead while later tiers compute.
+                for c in dma(li, i + nslot):
+                    c.start()
 
         # tail: positions [flushed, flushed + TAIL), valid below
         # stage_base (rows >= stage_base are served by the stage tier)
@@ -280,11 +292,13 @@ def _kernel(scalars_ref,
         g_s[...] = _gelu_exact(mm(h2, w1_ref, s1_ref[li], d, 4 * d)
                                + b1_ref[li])
         if nblk > 0:
-            # prefetch ALL of the next layer's cold blocks during the
-            # FFN phases — the attention phase then only waits
+            # prefetch the next layer's cold blocks (one per free
+            # slot) during the FFN phases — with nslot == nblk the
+            # attention phase then only waits; with fewer slots the
+            # attention loop streams the remainder
             @pl.when(li + 1 < nlayers)
             def _():
-                for blk in range(nblk):
+                for blk in range(min(nblk, nslot)):
                     for c in dma(li + 1, blk):
                         c.start()
 
@@ -300,10 +314,11 @@ def _kernel(scalars_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("flushed", "interpret"))
+                   static_argnames=("flushed", "interpret", "nslot"))
 def fused_trunk_step(x: Array, weights, cache: dict,
                      pos: Array, slopes: Array, flushed: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     nslot: int | None = None):
     """One full trunk AR step over the mega cache.
 
     x: (B, D) residual stream; ``weights`` is the dict from
@@ -326,7 +341,17 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     h = cache["k_tail"].shape[1]
     dh = d // h
     assert flushed % BLK == 0
-    nslot = max(flushed // BLK, 1)   # one VMEM slot per cold block
+    nblk = flushed // BLK
+    # Cold-cache VMEM slots: one per block when they fit in a ~32 MB
+    # budget (B<=16: the attention phase then only waits on prefetches
+    # issued during the previous layer's FFN), else the largest slot
+    # count the budget allows (>=2, double-buffered streaming inside
+    # the attention loop) — this is what admits B=32/64, where
+    # one-slot-per-block exceeds VMEM.
+    if nslot is None:
+        slot_bytes = h * b * BLK * (2 * dh + 8)
+        nslot = max(2, (32 * 2**20) // max(slot_bytes, 1))
+    nslot = max(1, min(max(nblk, 1), nslot))
 
     full = lambda a: pl.BlockSpec(a.shape, lambda li, p, s:
                                   (0,) * a.ndim)
@@ -401,7 +426,8 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     )
     outs = pl.pallas_call(
         functools.partial(_kernel, nlayers=nl, nheads=h, head_dim=dh,
-                          dim=d, flushed=flushed, batch=b),
+                          dim=d, flushed=flushed, batch=b,
+                          nslot=nslot),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
