@@ -11,11 +11,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs (round-2 measured values in PERFORMANCE.md):
   BENCH_BATCH=128       batch (128: ~300x throughput point, KV-bound,
-                        per-layer decode; 8: ~92.5x serving point via
-                        the hybrid cold/tail Pallas decode + weight
-                        int8 — set BENCH_W_INT8=1 for that number)
+                        per-layer decode; 8/16: serving points via the
+                        mega one-kernel-per-step trunk decode + weight
+                        int8, 152x/179x)
   BENCH_KV_INT8=1       int8 KV cache (default on)
-  BENCH_W_INT8=0        weight-only int8 trunk (helps at B<=32)
+  BENCH_W_INT8          weight-only int8 trunk (default on for
+                        B<=32 where AR decode is weight-streaming
+                        bound; off at B>=64 where it measured null)
   BENCH_BF16_PARAMS=1   cast trainable params to bf16 (default on)
   BENCH_RUNS=3          timed repetitions (min is reported)
 """
@@ -88,7 +90,14 @@ def main() -> None:
 
     use_int8 = os.environ.get("BENCH_KV_INT8", "1") != "0"
     kv_dtype = jnp.int8 if use_int8 else None
-    w_int8 = os.environ.get("BENCH_W_INT8", "0") != "0"
+    # Weight-only int8 trunk: the shipped small-batch serving config
+    # (quality budgets asserted in tests/test_quantization_ladder.py).
+    # At B<=32 the AR decode is weight-streaming-bound and w-int8 is a
+    # large win (B=8: 82.5x -> 152x with the mega kernel); at B>=64 the
+    # KV cache dominates and it measured null — so default by batch,
+    # override with BENCH_W_INT8=0/1.
+    w_int8 = os.environ.get("BENCH_W_INT8",
+                            "1" if batch <= 32 else "0") != "0"
     if os.environ.get("BENCH_BF16_PARAMS", "1") != "0":
         # Pre-cast trainable params to bf16 so the AR scan reads half
         # the weight bytes (norm/distribution math still runs fp32 via
@@ -131,7 +140,8 @@ def main() -> None:
         "metric": "3s->10s continuation real-time factor per chip "
                   f"(batch {batch}, full pipeline: AR 500 steps + "
                   "DDIM-100 + HiFi-GAN"
-                  + (", int8 KV cache" if use_int8 else "") + ")",
+                  + (", int8 KV cache" if use_int8 else "")
+                  + (", int8 weights" if w_int8 else "") + ")",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
