@@ -20,6 +20,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional, Sequence, Tuple, Union
 
@@ -55,6 +56,56 @@ def _pad_pair(padding: Padding) -> Tuple[int, int]:
     return (padding, padding)
 
 
+@functools.lru_cache(maxsize=None)
+def _depthwise_fn(k: int, stride: int, pad: Tuple[int, int],
+                  dilation: int):
+    """Pure-depthwise conv with a split lowering.
+
+    Forward: the grouped-conv primitive — XLA fuses it into adjacent
+    elementwise chains (measured: relowering the forward as k shifted
+    multiplies cost +2.6 ms/UNet-step at the B=128 DDIM operating
+    point).  Backward: the VJP of the k-shifted-multiply formulation —
+    XLA's SPMD partitioner mis-reduces the grouped-conv WEIGHT
+    gradient on multi-axis meshes (dW scaled by the size of every mesh
+    axis the batch is not sharded over; repro
+    ``tests/test_pp.py::test_depthwise_grad_correct_on_2d_mesh``),
+    while the elementwise formulation's grads are plain reduces that
+    partition correctly."""
+
+    def elementwise(x, kernel):
+        xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+        span = (k - 1) * dilation + 1
+        t_out = (xp.shape[1] - span) // stride + 1
+        y = None
+        for j in range(k):
+            lo = j * dilation
+            xs = xp[:, lo:lo + (t_out - 1) * stride + 1:stride]
+            term = xs * kernel[j, 0]
+            y = term if y is None else y + term
+        return y
+
+    def grouped(x, kernel):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (stride,), [pad], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=kernel.shape[2])
+
+    @jax.custom_vjp
+    def f(x, kernel):
+        return grouped(x, kernel)
+
+    def fwd(x, kernel):
+        return grouped(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        _, vjp = jax.vjp(elementwise, x, kernel)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 class Conv1d(nnx.Module):
     """NWC conv with torch-style init and (left, right) padding."""
 
@@ -77,28 +128,11 @@ class Conv1d(nnx.Module):
         kernel = self.kernel[...].astype(dt)
         if self.groups > 1 and kernel.shape[1] == 1 \
                 and kernel.shape[2] == self.groups:
-            # Pure depthwise: K shifted elementwise multiplies instead
-            # of a feature_group_count conv.  Two reasons: (a) XLA's
-            # SPMD partitioner mis-reduces the grouped-conv WEIGHT
-            # gradient on multi-axis meshes — dW comes back multiplied
-            # by the size of every mesh axis the batch is NOT sharded
-            # over (repro: tests/test_pp.py::
-            # test_depthwise_grad_correct_on_2d_mesh); the elementwise
-            # formulation's autodiff is a plain reduce that partitions
-            # correctly.  (b) grouped convs lower poorly onto the MXU
-            # anyway — K small (3-7) shifted VPU multiplies fuse.
-            k = kernel.shape[0]
-            xp = jnp.pad(x.astype(dt),
-                         ((0, 0), self.padding, (0, 0)))
-            span = (k - 1) * self.dilation + 1
-            t_out = (xp.shape[1] - span) // self.stride + 1
-            y = None
-            for j in range(k):
-                lo = j * self.dilation
-                xs = xp[:, lo:lo + (t_out - 1) * self.stride + 1
-                        :self.stride]
-                term = xs * kernel[j, 0]
-                y = term if y is None else y + term
+            # Pure depthwise: grouped-conv forward + elementwise-
+            # formulation backward (see _depthwise_fn).
+            y = _depthwise_fn(kernel.shape[0], self.stride,
+                              self.padding, self.dilation)(
+                x.astype(dt), kernel)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dt), kernel,

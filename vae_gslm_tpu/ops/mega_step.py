@@ -349,8 +349,11 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     # the attention loop) — this is what admits B=32/64, where
     # one-slot-per-block exceeds VMEM.
     if nslot is None:
+        # 24 MB: leaves room in the 128 MB VMEM for the register-
+        # allocator spill slots Mosaic generates at large B (measured
+        # 24.6 MB at B=32 — a 32 MB slot budget OOM'd by 3.2 MB).
         slot_bytes = h * b * BLK * (2 * dh + 8)
-        nslot = max(2, (32 * 2**20) // max(slot_bytes, 1))
+        nslot = max(2, (24 * 2**20) // max(slot_bytes, 1))
     nslot = max(1, min(max(nblk, 1), nslot))
 
     full = lambda a: pl.BlockSpec(a.shape, lambda li, p, s:
