@@ -227,13 +227,15 @@ def _mega_lvtr_hp():
     return Hparams.from_dict(d)
 
 
-@pytest.mark.parametrize("tp,length", [(6, 20), (130, 12)])
+@pytest.mark.parametrize("tp,length", [(6, 20), (130, 12), (6, 200)])
 def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
     """The one-kernel-per-step mega decode path (forced via
     VAE_GSLM_MEGA_DECODE=1; kernel in interpret mode on CPU) must
     reproduce the per-layer decode path sample-for-sample — across
-    partial stage groups, 8-row merges and (tp=130) a flushed cold
-    block."""
+    partial stage groups, 8-row merges, (tp=130) a flushed cold
+    block, and (length=200 ≥ 1.5× the 128-step flush window,
+    VERDICT r3 item 6) a full in-generation merge+flush sequence:
+    ~25 stage merges plus a tail→cold flush at step 128."""
     from tests.test_models import N_MELS
     from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
 
@@ -273,15 +275,23 @@ def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
         np.asarray(out_p["output"].value), rtol=1e-2, atol=1e-2)
 
 
-def test_sampler_hybrid_path_matches_per_layer(monkeypatch):
+@pytest.mark.parametrize("length", [8, 280])
+def test_sampler_hybrid_path_matches_per_layer(monkeypatch, length):
     """The hybrid cold/tail Pallas decode path (forced via
     VAE_GSLM_HYBRID_DECODE=1; kernel in interpret mode on CPU) must
-    reproduce the per-layer decode path sample-for-sample."""
+    reproduce the per-layer decode path sample-for-sample — length
+    280 crosses the 256-step tail→cold flush boundary mid-generation
+    (ops/fused_decode.py TAIL; VERDICT r3 item 6)."""
     from tests.test_models import TINY_LVTR, N_MELS
     from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
 
+    hp = TINY_LVTR
+    if length > 64:
+        from vae_gslm_tpu.hparams.hp import Hparams
+        hp = Hparams.from_dict(TINY_LVTR.to_dict())
+        hp.transformer.rpe.maxpos = 512
     monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "1")
-    m = LVTR(TINY_LVTR, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    m = LVTR(hp, input_dim=N_MELS, rngs=nnx.Rngs(3))
     rng = np.random.RandomState(0)
     b, tp = 2, 6
     toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
@@ -292,12 +302,12 @@ def test_sampler_hybrid_path_matches_per_layer(monkeypatch):
     key = jax.random.PRNGKey(5)
 
     s_hybrid = ARTRSampler(m, kv_dtype=jnp.int8)
-    out_h = s_hybrid(8, prior, key, temperature=0.8,
+    out_h = s_hybrid(length, prior, key, temperature=0.8,
                      token_temperature=0.8)
 
     monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
     s_plain = ARTRSampler(m, kv_dtype=jnp.int8)
-    out_p = s_plain(8, prior, key, temperature=0.8,
+    out_p = s_plain(length, prior, key, temperature=0.8,
                     token_temperature=0.8)
 
     np.testing.assert_array_equal(

@@ -183,6 +183,66 @@ def test_lvtr_ar_step_kv_cache_parity():
                  atol=1e-4)
 
 
+def test_lvtr_ar_long_horizon_windowed_parity(monkeypatch):
+    """Long-horizon golden rollout (VERDICT r3 item 6): the PRODUCT
+    sampler — ``ARTRSampler``'s per-layer windowed segmented-scan
+    decode, the machinery the 500-step flagship run uses — must
+    reproduce the reference's dynamic-concat AR loop
+    (trainers/speech/sampler.py:50-62) token-for-token across 200
+    steps, crossing three 64-frame attention-window rollovers
+    (``_n_segments(200) == 4``).  temperature=0 pins the latents;
+    token_temperature→0 makes the multinomial an argmax on both
+    sides; the uniform initial AR state is pinned on both."""
+    from vae_gslm_tpu.inference.speech.sampler import (ARTRSampler,
+                                                       _n_segments)
+
+    hp = Hparams.from_dict(TINY_LVTR.to_dict())
+    hp.transformer.rpe.maxpos = 512      # 205 positions > TINY's 64
+    ref, ours = _lvtr_pair(hp, seed=13)
+    b, tp, nsteps = 2, 5, 200
+    x, _ = _mel_tok_batch(b, tp, seed=7)
+    lengths = np.asarray([tp, tp], np.int64)
+    init = (np.random.RandomState(5).rand(b, 1, 8) * 2 - 1).astype(
+        np.float32)
+    tinit = torch.tensor(init)
+    ref.initial_state = lambda bsize, device=None, nfeat=None: tinit
+    jinit = jnp.asarray(init)
+    # Class-level pin: ARTRSampler's jitted run rebuilds the model via
+    # nnx.merge, so an instance-attribute pin would not survive.
+    monkeypatch.setattr(
+        LVTR, "initial_state",
+        lambda self, key, bsize, nfeat=None: jinit)
+
+    with torch.no_grad():
+        enc_r = ref.encode(_tm(x, lengths), temperature=0.0)
+        out_r = ref.step(enc_r.value, past_kv=None, temperature=0.0,
+                         token_temperature=1e-4, push_init_state=True)
+        frames_r = [out_r["output"][:, -1:]]
+        kv = out_r["kv"]
+        for _ in range(nsteps - 1):
+            out_r = ref.step(frames_r[-1], past_kv=kv, temperature=0.0,
+                             token_temperature=1e-4)
+            kv = out_r["kv"]
+            frames_r.append(out_r["output"])
+    gen_r = torch.cat(frames_r, dim=1).numpy()      # (b, nsteps, C)
+
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    monkeypatch.setenv("VAE_GSLM_MEGA_DECODE", "0")
+    assert _n_segments(nsteps) == 4                 # window rollovers
+    sampler = ARTRSampler(ours)                     # fp32 KV cache
+    out = sampler(nsteps, _mj(x, lengths), jax.random.PRNGKey(0),
+                  temperature=0.0, token_temperature=1e-4,
+                  encoder_temperature=0.0)
+    gen_j = np.asarray(out["frames"].value)[:, tp:]
+    assert gen_j.shape == gen_r.shape
+    np.testing.assert_array_equal(gen_j[..., 0], gen_r[..., 0],
+                                  err_msg="200-step token stream")
+    # fp32 drift compounds through 200 recursive steps; budget is the
+    # observed platform (torch-CPU vs XLA-CPU) drift with margin.
+    allclose("200-step latents", gen_r[..., 1:], gen_j[..., 1:],
+             atol=2e-3, rtol=1e-2)
+
+
 def test_lvtr_diffusion_denoiser_parity():
     """Deterministic denoiser prediction at fixed (x_t, t, cond)
     (modules/diffusion/ddpm.py:245-255)."""
