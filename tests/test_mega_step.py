@@ -114,6 +114,29 @@ def test_mega_kernel_streamed_slots_match_reference(nslot):
             rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+def test_mega_kernel_chunked_mm_matches_reference():
+    """Chunked int8->bf16 weight upconversion (the B>=32 VMEM form;
+    mm_chunk below a matrix's dout splits it into column chunks) must
+    be numerically identical to the whole-matrix dot."""
+    m = _stack()
+    weights = m.build_mega_decode()
+    b = 8
+    flushed, pos = 128, 170
+    cache = _cache(b, 1)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, D) * 0.3, jnp.float32)
+    slopes = m.rpe.slopes[...]
+    outs_k = fused_trunk_step(x, weights, cache, jnp.asarray(pos),
+                              slopes, flushed=flushed, interpret=True,
+                              mm_chunk=128)
+    outs_r = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-3, atol=2e-4, err_msg=name)
+
+
 def test_stage_merge_flush_roundtrip():
     """Drive stage_append/merge_stage/flush_mega over 2*STAGE rows
     and check the rows land where the kernel's masks expect them."""

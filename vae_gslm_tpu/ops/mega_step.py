@@ -95,7 +95,7 @@ def _kernel(scalars_ref,
             x_s, qkv_s, g_s,
             kb, vb, ksb, vsb, sems,
             *, nlayers: int, nheads: int, head_dim: int, dim: int,
-            flushed: int, batch: int, nslot: int):
+            flushed: int, batch: int, nslot: int, mm_chunk: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -120,11 +120,27 @@ def _kernel(scalars_ref,
         return x * jax.lax.rsqrt(ms + 1e-6) * nscale
 
     def mm(xin, w_ref, scales, din, dout):
-        """bf16 matmul with an int8 weight block + col scales."""
-        w = w_ref[...].reshape(din, dout).astype(jnp.bfloat16)
-        y = jnp.dot(xin.astype(jnp.bfloat16), w,
+        """bf16 matmul with an int8 weight block + col scales.
+
+        The int8->bf16 upconversion is chunked along the output
+        columns when ``mm_chunk`` is set (B>=32 default): converting
+        the whole (d, 4d) block at once holds an 8 MB bf16 temp live
+        through the dot, which is what pushed B=32 1.63 MB past the
+        VMEM stack limit (chip_results/bench_b32_mega3.err).
+        1024-column chunks cap the temp at 2 MB; at B<=16 the
+        unchunked form stays (one big MXU dot, no concat)."""
+        xb = xin.astype(jnp.bfloat16)
+        if not mm_chunk or dout <= mm_chunk:
+            w = w_ref[...].reshape(din, dout).astype(jnp.bfloat16)
+            y = jnp.dot(xb, w, preferred_element_type=jnp.float32)
+            return y * scales
+        wv = w_ref[...].reshape(din, dout)
+        outs = [
+            jnp.dot(xb, wv[:, c0:c0 + mm_chunk].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
-        return y * scales
+            for c0 in range(0, dout, mm_chunk)
+        ]
+        return jnp.concatenate(outs, axis=-1) * scales
 
     def dma(layer, blk):
         """Cold block ``blk`` of ``layer`` -> slot ``blk % nslot``.
@@ -314,11 +330,13 @@ def _kernel(scalars_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("flushed", "interpret", "nslot"))
+                   static_argnames=("flushed", "interpret", "nslot",
+                                    "mm_chunk"))
 def fused_trunk_step(x: Array, weights, cache: dict,
                      pos: Array, slopes: Array, flushed: int,
                      interpret: bool = False,
-                     nslot: int | None = None):
+                     nslot: int | None = None,
+                     mm_chunk: int | None = None):
     """One full trunk AR step over the mega cache.
 
     x: (B, D) residual stream; ``weights`` is the dict from
@@ -355,6 +373,11 @@ def fused_trunk_step(x: Array, weights, cache: dict,
         slot_bytes = h * b * BLK * (2 * dh + 8)
         nslot = max(2, (24 * 2**20) // max(slot_bytes, 1))
     nslot = max(1, min(max(nblk, 1), nslot))
+    if mm_chunk is None:
+        # Chunked weight upconversion at B>=32 only: at B<=16 the
+        # whole-matrix bf16 temp fits comfortably and one big MXU dot
+        # avoids the per-chunk concat.
+        mm_chunk = 1024 if b >= 32 else 0
 
     full = lambda a: pl.BlockSpec(a.shape, lambda li, p, s:
                                   (0,) * a.ndim)
@@ -430,7 +453,7 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     outs = pl.pallas_call(
         functools.partial(_kernel, nlayers=nl, nheads=h, head_dim=dh,
                           dim=d, flushed=flushed, batch=b,
-                          nslot=nslot),
+                          nslot=nslot, mm_chunk=mm_chunk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
