@@ -107,10 +107,12 @@ def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
     interpret = jax.default_backend() != "tpu"
     use = (use_stacked and kv_dtype == jnp.int8 and not return_attn
            and {"auto": not interpret, "1": True, "0": False}[env])
-    # B=8: 152x vs 97x hybrid; B=16: 179x.  B=32 exceeds the 128 MB
-    # VMEM budget (per-block cold slots scale with B) — hybrid takes
-    # over there (115x at B=32, 126x at B=64).
-    cap = int(_os.environ.get("VAE_GSLM_MEGA_MAX_BATCH", "16"))
+    # B=8: 152x vs 97x hybrid; B=16: 179x; B=32: 209x vs 115x hybrid
+    # (r4 — the old 100 MB Pallas vmem cap, not hardware, was the
+    # B=32 compile failure; see tools/probe_mega_vmem.py).  B=64
+    # still loses to hybrid (slot-ring DMAs serialize behind the
+    # attention dots).
+    cap = int(_os.environ.get("VAE_GSLM_MEGA_MAX_BATCH", "32"))
     return use, interpret, cap
 
 

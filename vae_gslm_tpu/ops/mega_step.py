@@ -461,7 +461,10 @@ def fused_trunk_step(x: Array, weights, cache: dict,
             jax.ShapeDtypeStruct((nl, h, b, dh), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 119 MB: the r3 100 MB cap was itself the B=32 compile
+            # failure (standalone scoped demand measured 101-104 MB vs
+            # a ~121 MB hardware ceiling — tools/probe_mega_vmem.py).
+            vmem_limit_bytes=119 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
