@@ -319,3 +319,95 @@ def test_sampler_hybrid_path_matches_per_layer(monkeypatch, length):
     np.testing.assert_allclose(
         np.asarray(out_h["output"].value),
         np.asarray(out_p["output"].value), rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("length", [24, 280])
+def test_sampler_packed_cache_matches_per_layer(monkeypatch, length):
+    """The lane-packed (T, D, B*H) per-layer cache layout (forced via
+    VAE_GSLM_PACKED_CACHE=1; the B=64 serving default on TPU after the
+    r4 layout-cliff finding, tools/bench_b64_fold.py) must reproduce
+    the base (B, H, T, D) path sample-for-sample, including across the
+    segmented-window boundaries at length 280."""
+    from tests.test_models import TINY_LVTR, N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    hp = TINY_LVTR
+    if length > 64:
+        from vae_gslm_tpu.hparams.hp import Hparams
+        hp = Hparams.from_dict(TINY_LVTR.to_dict())
+        hp.transformer.rpe.maxpos = 512
+    # per-layer path both times: hybrid + mega off, stacked off via
+    # batch>cap is not available at tiny dims, so disable explicitly
+    monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    monkeypatch.setenv("VAE_GSLM_MEGA_DECODE", "0")
+    monkeypatch.setenv("VAE_GSLM_HYBRID_MAX_BATCH", "0")
+    m = LVTR(hp, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    rng = np.random.RandomState(0)
+    b, tp = 2, 6
+    toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
+    mel = rng.randn(b, tp, N_MELS).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.asarray([tp, tp]))
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setenv("VAE_GSLM_PACKED_CACHE", "1")
+    out_k = ARTRSampler(m, kv_dtype=jnp.int8)(
+        length, prior, key, temperature=0.8, token_temperature=0.8)
+
+    monkeypatch.setenv("VAE_GSLM_PACKED_CACHE", "0")
+    out_p = ARTRSampler(m, kv_dtype=jnp.int8)(
+        length, prior, key, temperature=0.8, token_temperature=0.8)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_k["frames"].value[..., 0]),
+        np.asarray(out_p["frames"].value[..., 0]))  # same tokens
+    np.testing.assert_allclose(
+        np.asarray(out_k["frames"].value),
+        np.asarray(out_p["frames"].value), rtol=1e-2, atol=5e-3)
+
+
+def test_packed_cache_decode_step_matches_base():
+    """LayerKVCache packed layout: prefill write + windowed decode
+    steps + return_attn weights agree with the base layout to fp
+    tolerance (same int8 quantization grid, different einsum/layout)."""
+    from vae_gslm_tpu.nn.attention import LayerKVCache
+    from vae_gslm_tpu.ops.decode_attention import decode_attention
+
+    b, h, d, t_max = 2, 4, 8, 32
+    slopes = -jnp.exp2(-jnp.arange(1, h + 1, dtype=jnp.float32))
+    outs = {}
+    for packed in (False, True):
+        cache = LayerKVCache.zeros(b, t_max, h, d, jnp.int8,
+                                   packed=packed)
+        rows_k = jnp.asarray(np.random.RandomState(2)
+                             .randn(b, 5, h, d) * 0.5, jnp.float32)
+        rows_v = jnp.asarray(np.random.RandomState(3)
+                             .randn(b, 5, h, d) * 0.5, jnp.float32)
+        cache = cache.write(jnp.asarray(0), rows_k, rows_v)
+        # single-row decode writes at positions 5..8
+        res = []
+        for pos in range(5, 9):
+            rk = jnp.asarray(np.random.RandomState(10 + pos)
+                             .randn(b, 1, h, d) * 0.5, jnp.float32)
+            rv = jnp.asarray(np.random.RandomState(20 + pos)
+                             .randn(b, 1, h, d) * 0.5, jnp.float32)
+            cache = cache.write(jnp.asarray(pos), rk, rv)
+            q = jnp.asarray(np.random.RandomState(30 + pos)
+                            .randn(b, h, d) * 0.5, jnp.float32)
+            out, w = decode_attention(
+                q, cache.k, cache.v, jnp.asarray(pos), slopes,
+                window=16, k_scale=cache.k_scale,
+                v_scale=cache.v_scale, return_weights=True)
+            res.append((np.asarray(out), np.asarray(w)))
+        outs[packed] = res
+        # dense view parity (prefill path)
+        kd, vd = cache.dense_kv(h)
+        outs[(packed, "dense")] = (np.asarray(kd), np.asarray(vd))
+    for (o_b, w_b), (o_p, w_p) in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(o_p, o_b, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(w_p, w_b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_array_equal(outs[(False, "dense")][0],
+                                  outs[(True, "dense")][0])
+    np.testing.assert_array_equal(outs[(False, "dense")][1],
+                                  outs[(True, "dense")][1])

@@ -58,14 +58,20 @@ def main():
     key = jax.random.PRNGKey(7)
     kw = dict(temperature=0.85, token_temperature=0.85)
 
-    def sample(kv_dtype, w_int8, hybrid_env):
+    def sample(kv_dtype, w_int8, hybrid_env, mega_env="0",
+               packed_env="0"):
         os.environ["VAE_GSLM_HYBRID_DECODE"] = hybrid_env
+        os.environ["VAE_GSLM_MEGA_DECODE"] = mega_env
+        os.environ["VAE_GSLM_PACKED_CACHE"] = packed_env
         s = ARTRSampler(build(), kv_dtype=kv_dtype,
                         quantize_weights=w_int8)
         out = s(length, prior, key, **kw)
         return (np.asarray(out["frames"].value),
                 np.asarray(out["output"].value))
 
+    # The shipped serving ladder (sampler auto-gating): B<=32 mega
+    # kernel (w-int8 + int8 KV), B>=64 lane-packed per-layer int8 KV
+    # (PACKED_CACHE auto); hybrid kept as the non-mega stacked rung.
     rungs = [
         ("bf16 (fp cache)", dict(kv_dtype=None, w_int8=False,
                                  hybrid_env="0")),
@@ -73,9 +79,20 @@ def main():
                                        hybrid_env="0")),
         ("int8 KV + hybrid Pallas", dict(kv_dtype=jnp.int8,
                                          w_int8=False, hybrid_env="auto")),
-        ("w-int8 + int8 KV + hybrid (shipped B<=64)",
+        ("w-int8 + int8 KV + hybrid",
          dict(kv_dtype=jnp.int8, w_int8=True, hybrid_env="auto")),
     ]
+    if batch > 32:
+        # the per-layer path is only reachable above the stacked cap
+        rungs.append(
+            ("int8 KV packed per-layer (shipped B>=64)",
+             dict(kv_dtype=jnp.int8, w_int8=False, hybrid_env="0",
+                  packed_env="1")))
+    if batch <= 32:
+        rungs.append(
+            ("w-int8 + int8 KV + mega kernel (shipped B<=32)",
+             dict(kv_dtype=jnp.int8, w_int8=True, hybrid_env="0",
+                  mega_env="auto")))
     ref_f, ref_m = sample(**rungs[0][1])
     print(f"batch={batch} length={length} (flagship dims, shared key; "
           "deltas vs bf16 rung)")

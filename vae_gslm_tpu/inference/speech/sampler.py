@@ -93,6 +93,30 @@ def _select_hybrid(use_stacked: bool, kv_dtype, return_attn: bool):
     return use, interpret
 
 
+def _select_packed(batch: int, nheads: int, mesh) -> bool:
+    """Lane-packed (T, D, B*H) per-layer caches for the unstacked
+    decode path.  At B < 128 XLA assigns the base (B, H, T, D) cache a
+    D-minor layout (64 of 128 lanes + a cross-lane reduction: 946 vs
+    219 us/step/layer measured at B=64 vs B=128 — r4 trace,
+    tools/bench_b64_fold.py); the packed layout keeps N = B*H on the
+    lanes at any batch.  Chip A/B (r4): B=64 full pipeline 178x packed
+    vs 122x hybrid / 66x base per-layer — but at B=128, where the base
+    cache already gets the batch-minor layout, packed REGRESSES the
+    headline 311x -> 190x (the (T, D, N) write pattern defeats the
+    fast path), so auto gates to B < 128.  TPU-only by default
+    (``auto``); VAE_GSLM_PACKED_CACHE=1 forces it elsewhere (CPU
+    parity tests), =0 disables.  Requires a replicated cache (no
+    mesh) and N % 128 == 0."""
+    import os as _os
+
+    env = _os.environ.get("VAE_GSLM_PACKED_CACHE", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    lanes_full = (batch * nheads) % 128 == 0
+    return mesh is None and {
+        "auto": on_tpu and lanes_full and batch < 128,
+        "1": True, "0": False}[env]
+
+
 def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
     """(use_mega, interpret, max_batch): one-kernel-per-step trunk
     decode (``ops/mega_step.py``) — the B<=16 serving default on TPU
@@ -320,12 +344,14 @@ class ARTRSampler:
             enc = model.encode(prior, k_enc,
                                temperature=encoder_temperature)
             b, tp = enc.value.shape[0], enc.value.shape[1]
-            # Crossover measured on v5e (PERFORMANCE.md): hybrid wins
-            # up to B=64 (126x vs 66x on the per-layer path at the
-            # reference's B=64 operating point); per-layer wins at
-            # B=128 (290x vs 131x — batch-group DMA stride).
+            # Crossover measured on v5e (PERFORMANCE.md batch sweep):
+            # mega kernel wins B<=32 (209x at 32); the lane-packed
+            # per-layer path wins at B=64 (178x vs 122x hybrid — the
+            # r4 packed-layout fix); base per-layer wins at B>=128
+            # (311x).  Hybrid remains the stacked fallback below 32
+            # when mega is ineligible.
             hybrid_cap = int(_os.environ.get(
-                "VAE_GSLM_HYBRID_MAX_BATCH", "64"))
+                "VAE_GSLM_HYBRID_MAX_BATCH", "32"))
             stacked = (model.transformer.build_stacked_decode()
                        if use_stacked
                        and b <= max(32, hybrid_cap if use_hybrid
@@ -356,9 +382,13 @@ class ARTRSampler:
                 mel = (model.decode(full_m, k_dec, u_c=u_c)
                        if has_utt else model.decode(full_m, k_dec))
                 return {"output": mel, "frames": full_m}
-            caches = model.init_cache(b, tp + 1 + length,
-                                      dtype=self.kv_dtype,
-                                      stacked=stacked is not None)
+            nheads = (model.transformer.layers[0]
+                      .self_attn.nheads)
+            caches = model.init_cache(
+                b, tp + 1 + length, dtype=self.kv_dtype,
+                stacked=stacked is not None,
+                packed=(stacked is None
+                        and _select_packed(b, nheads, self.mesh)))
             step_kw = dict(temperature=temperature,
                            token_temperature=token_temperature,
                            truncated_norm=truncated_norm,
@@ -468,8 +498,10 @@ class DiscreteARSampler:
         use_hybrid, hybrid_interpret = _select_hybrid(
             use_stacked, self.kv_dtype, return_attn=False)
         import os as _os
+        # same crossover default as ARTRSampler (measured on the LVTR
+        # trunk; the token-LM trunk shares the einsum pattern)
         hybrid_cap = int(_os.environ.get(
-            "VAE_GSLM_HYBRID_MAX_BATCH", "64"))
+            "VAE_GSLM_HYBRID_MAX_BATCH", "32"))
 
         @jax.jit
         def run(state, prior_tokens: Masked, key: Array):
@@ -500,9 +532,13 @@ class DiscreteARSampler:
                 return self._assemble(has_f0, ids, f0 if has_f0
                                       else None, frames,
                                       prior_tokens.lengths, length)
-            caches = model.init_cache(b, tp + 1 + length,
-                                      dtype=self.kv_dtype,
-                                      stacked=stacked is not None)
+            nheads = (model.transformer.layers[0]
+                      .self_attn.nheads)
+            caches = model.init_cache(
+                b, tp + 1 + length, dtype=self.kv_dtype,
+                stacked=stacked is not None,
+                packed=(stacked is None
+                        and _select_packed(b, nheads, self.mesh)))
             out, caches = model.step(inp, caches, jnp.asarray(0), k_pre,
                                      temperature=temperature,
                                      stacked=stacked)

@@ -157,11 +157,13 @@ class DiscreteAR(nnx.Module):
 
     # ------------------------------------------------------------------
     def init_cache(self, batch: int, max_len: int,
-                   dtype=None, stacked: bool = False):
+                   dtype=None, stacked: bool = False,
+                   packed: bool = False):
         if stacked:
             return self.transformer.init_stacked_cache(batch, max_len,
                                                        dtype)
-        return self.transformer.init_cache(batch, max_len, dtype)
+        return self.transformer.init_cache(batch, max_len, dtype,
+                                           packed=packed)
 
     def step(self, xv: Array, caches, pos: Array,
              key: Array, temperature: float = 1.0,

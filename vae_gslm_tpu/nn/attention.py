@@ -48,25 +48,39 @@ def _quantize_i8(x: Array) -> Tuple[Array, Array]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
-    """Static per-layer KV cache: ``(B, H, maxT, D)``.
+    """Static per-layer KV cache.
 
-    Head-major layout keeps each head's (T, D) plane contiguous —
-    sequential DMA and better locality for the decode path.  Optional
-    int8 mode stores per-(b, h, t) symmetric scales alongside
-    (AR decode is KV-bandwidth-bound; int8 halves the cache traffic).
+    Two layouts, distinguished by rank (no static metadata — the
+    pytree stays scan/jit-transparent):
+
+      * base ``(B, H, maxT, D)`` — head-major planes; the layout XLA
+        serves well when B fills the 128 vector lanes (B >= 128).
+      * packed ``(maxT, D, B*H)`` — lane-packed: the flattened
+        (batch, head) axis N = B*H is minor, so BOTH decode dots are
+        lane-parallel over N at ANY batch.  Fixes the measured B=64
+        layout cliff where XLA assigns the base cache a D-minor
+        layout (64 of 128 lanes + cross-lane D reduction: 946 vs 219
+        us/step/layer at B=128 — r4 trace, tools/bench_b64_fold.py).
+        N-axis order is (b major, h minor): n = b * H + h.
+
+    Optional int8 mode stores per-row symmetric scales alongside
+    (AR decode is KV-bandwidth-bound; int8 halves the cache traffic);
+    scales are (B, H, maxT) base / (maxT, B*H) packed.
     """
 
     k: Array
     v: Array
-    k_scale: Optional[Array] = None   # (B, H, maxT) when int8
+    k_scale: Optional[Array] = None
     v_scale: Optional[Array] = None
 
     @classmethod
     def zeros(cls, batch: int, max_len: int, nheads: int, head_dim: int,
-              dtype=jnp.float32) -> "LayerKVCache":
-        shape = (batch, nheads, max_len, head_dim)
+              dtype=jnp.float32, packed: bool = False) -> "LayerKVCache":
+        shape = ((max_len, head_dim, batch * nheads) if packed
+                 else (batch, nheads, max_len, head_dim))
         if dtype == jnp.int8:
-            sshape = (batch, nheads, max_len)
+            sshape = ((max_len, batch * nheads) if packed
+                      else (batch, nheads, max_len))
             return cls(jnp.zeros(shape, jnp.int8),
                        jnp.zeros(shape, jnp.int8),
                        jnp.zeros(sshape, jnp.float32),
@@ -74,17 +88,52 @@ class LayerKVCache:
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
+    def packed(self) -> bool:
+        return self.k.ndim == 3
+
+    @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[0] if self.packed else self.k.shape[2]
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    def _pack_rows(self, x: Array) -> Array:
+        """(B, H, S, D) -> (S, D, B*H)."""
+        b, h, s, d = x.shape
+        return jnp.transpose(x, (2, 3, 0, 1)).reshape(s, d, b * h)
+
     def write(self, pos: Array, k: Array, v: Array) -> "LayerKVCache":
         """Insert ``(B, S, H, D)`` new keys/values at position ``pos``."""
         k = jnp.swapaxes(k, 1, 2)  # (B, H, S, D)
         v = jnp.swapaxes(v, 1, 2)
+        if self.packed:
+            if self.quantized:
+                kq, ks = _quantize_i8(k)
+                vq, vs = _quantize_i8(v)
+                b, h, s = ks.shape
+                sc_at = (pos, 0)
+                return LayerKVCache(
+                    jax.lax.dynamic_update_slice(
+                        self.k, self._pack_rows(kq), (pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        self.v, self._pack_rows(vq), (pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        self.k_scale,
+                        jnp.transpose(ks, (2, 0, 1)).reshape(s, b * h),
+                        sc_at),
+                    jax.lax.dynamic_update_slice(
+                        self.v_scale,
+                        jnp.transpose(vs, (2, 0, 1)).reshape(s, b * h),
+                        sc_at))
+            return LayerKVCache(
+                jax.lax.dynamic_update_slice(
+                    self.k, self._pack_rows(k).astype(self.k.dtype),
+                    (pos, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    self.v, self._pack_rows(v).astype(self.v.dtype),
+                    (pos, 0, 0)))
         if self.quantized:
             kq, ks = _quantize_i8(k)
             vq, vs = _quantize_i8(v)
@@ -101,15 +150,33 @@ class LayerKVCache:
             jax.lax.dynamic_update_slice(
                 self.v, v.astype(self.v.dtype), (0, 0, pos, 0)))
 
-    def dense_kv(self) -> Tuple[Array, Array]:
-        """Dequantized (B, T, H, D) views for the prefill path."""
+    def dense_kv(self, nheads: Optional[int] = None
+                 ) -> Tuple[Array, Array]:
+        """Dequantized (B, T, H, D) views for the prefill path.
+
+        ``nheads`` is required for the packed layout (the (B*H) axis
+        cannot be split without it)."""
         if self.quantized:
-            k = (self.k.astype(jnp.float32)
-                 * self.k_scale[..., None]).astype(jnp.bfloat16)
-            v = (self.v.astype(jnp.float32)
-                 * self.v_scale[..., None]).astype(jnp.bfloat16)
+            if self.packed:
+                k = (self.k.astype(jnp.float32)
+                     * self.k_scale[:, None]).astype(jnp.bfloat16)
+                v = (self.v.astype(jnp.float32)
+                     * self.v_scale[:, None]).astype(jnp.bfloat16)
+            else:
+                k = (self.k.astype(jnp.float32)
+                     * self.k_scale[..., None]).astype(jnp.bfloat16)
+                v = (self.v.astype(jnp.float32)
+                     * self.v_scale[..., None]).astype(jnp.bfloat16)
         else:
             k, v = self.k, self.v
+        if self.packed:
+            assert nheads is not None
+            t, d, n = k.shape
+            b = n // nheads
+            # (T, D, B, H) -> (B, T, H, D)
+            k = jnp.transpose(k.reshape(t, d, b, nheads), (2, 0, 3, 1))
+            v = jnp.transpose(v.reshape(t, d, b, nheads), (2, 0, 3, 1))
+            return k, v
         return jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
 
 
@@ -278,10 +345,10 @@ class SelfAttention(nnx.Module):
 
     # -- static-cache decode ----------------------------------------------
     def init_cache(self, batch: int, max_len: int,
-                   dtype=None) -> LayerKVCache:
+                   dtype=None, packed: bool = False) -> LayerKVCache:
         dtype = dtype or get_policy().compute_dtype
         return LayerKVCache.zeros(batch, max_len, self.nheads,
-                                  self.head_dim, dtype)
+                                  self.head_dim, dtype, packed=packed)
 
     def decode_step(self, xv: Array, cache: LayerKVCache, pos: Array,
                     rpe_pair: Optional[Tuple[str, Any]] = None,
@@ -330,7 +397,7 @@ class SelfAttention(nnx.Module):
         bias = None
         if slopes is not None:
             bias = rpe_pair[1].bias(q_pos, k_pos)
-        kc, vc = cache.dense_kv()  # (B, T, H, D)
+        kc, vc = cache.dense_kv(self.nheads)  # (B, T, H, D)
         out, attn = attend(qh, kc, vc, bias, mask,
                            return_attn=return_attn)
         out = self.out_proj(_merge_heads(out))

@@ -320,8 +320,10 @@ class TransformerLayerStack(nnx.Module):
 
     # -- static-cache decode ----------------------------------------------
     def init_cache(self, batch: int, max_len: int,
-                   dtype=None) -> List[LayerKVCache]:
-        return [layer.self_attn.init_cache(batch, max_len, dtype)
+                   dtype=None, packed: bool = False
+                   ) -> List[LayerKVCache]:
+        return [layer.self_attn.init_cache(batch, max_len, dtype,
+                                           packed=packed)
                 for layer in self.layers]
 
     def project_memory(self, memory: Masked) -> Masked:

@@ -28,6 +28,74 @@ Array = jax.Array
 NEG_INF = -1e30
 
 
+def decode_attention_packed(q: Array, k_cache: Array, v_cache: Array,
+                            pos: Array, slopes: Optional[Array],
+                            window: Optional[int] = None,
+                            k_scale: Optional[Array] = None,
+                            v_scale: Optional[Array] = None,
+                            return_weights: bool = False):
+    """Lane-packed decode attention over a ``(T, D, N)`` cache,
+    N = B*H (b major, h minor).
+
+    Both dots keep N on the vector lanes at any batch — the QK product
+    reduces over D (sublanes) and the AV product streams over T (major
+    axis) — which is the layout XLA only picks for the base
+    ``(B, H, T, D)`` cache when B >= 128 (r4 trace finding: at B=64 it
+    falls back to a D-minor layout, 946 vs 219 us/step/layer;
+    ``tools/bench_b64_fold.py`` measures this form at 521 GB/s vs 60
+    for the base form at B=64).  q: (B, H, D); scales: (T, N).
+    Returns (B, H, D) (+ optional (B, H, T_full) weights)."""
+    b, h, d = q.shape
+    n = b * h
+    t_full = k_cache.shape[0]
+    if window is not None and window < t_full:
+        k_cache = k_cache[:window]
+        v_cache = v_cache[:window]
+        if k_scale is not None:
+            k_scale = k_scale[:window]
+            v_scale = v_scale[:window]
+    t = k_cache.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    qn = q.reshape(n, d)
+    if k_scale is not None:
+        q_amax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+        q_scale = (q_amax.astype(jnp.float32) / 127.0)
+        qi = jnp.round(qn.astype(jnp.float32)
+                       / jnp.maximum(q_scale, 1e-8)).astype(jnp.int8)
+        li = jnp.einsum("dn,tdn->tn", jnp.swapaxes(qi, 0, 1), k_cache,
+                        preferred_element_type=jnp.int32)
+        logits = (li.astype(jnp.float32)
+                  * (q_scale[None, :, 0]
+                     * k_scale.astype(jnp.float32) * scale))
+    else:
+        logits = jnp.einsum("dn,tdn->tn", jnp.swapaxes(qn, 0, 1),
+                            k_cache,
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = jnp.arange(t)
+    if slopes is not None:
+        slopes_n = jnp.tile(slopes.astype(jnp.float32), b)   # n=b*H+h
+        dist = jnp.abs(k_pos - pos).astype(jnp.float32)
+        logits = logits + slopes_n[None, :] * dist[:, None]
+    logits = jnp.where(k_pos[:, None] <= pos, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=0)                        # (T, N)
+    if v_scale is not None:
+        wv = (w * v_scale.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.einsum("tn,tdn->dn", wv,
+                         v_cache.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        wv = w.astype(v_cache.dtype)
+        out = jnp.einsum("tn,tdn->dn", wv, v_cache,
+                         preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(out, 0, 1).reshape(b, h, d).astype(q.dtype)
+    if return_weights:
+        wbht = jnp.swapaxes(w, 0, 1).reshape(b, h, t)
+        if t < t_full:
+            wbht = jnp.pad(wbht, ((0, 0), (0, 0), (0, t_full - t)))
+        return out, wbht
+    return out
+
+
 def decode_attention(q: Array, k_cache: Array, v_cache: Array,
                      pos: Array, slopes: Optional[Array],
                      window: Optional[int] = None,
@@ -40,7 +108,14 @@ def decode_attention(q: Array, k_cache: Array, v_cache: Array,
     window > pos at runtime); k_scale/v_scale: (B, H, T) int8
     dequantization scales.  Returns (B, H, D), or
     ``(out, weights (B, H, T_full))`` with ``return_weights`` (weights
-    are zero-padded back to the full cache length if windowed)."""
+    are zero-padded back to the full cache length if windowed).
+    A rank-3 ``k_cache`` dispatches to the lane-packed form
+    (``decode_attention_packed``)."""
+    if k_cache.ndim == 3:
+        return decode_attention_packed(
+            q, k_cache, v_cache, pos, slopes, window=window,
+            k_scale=k_scale, v_scale=v_scale,
+            return_weights=return_weights)
     t_full = k_cache.shape[2]
     if window is not None and window < k_cache.shape[2]:
         k_cache = k_cache[:, :, :window]
