@@ -108,8 +108,9 @@ def _flash_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
-                     causal: bool, use_alibi: bool):
+def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref,
+                     *maybe_l_ref, causal: bool, use_alibi: bool,
+                     with_stats: bool = False):
     """Full-matrix forward for one (batch, head): grid (B, H).
 
     At training scale (T <= ~1k) the whole (T, T) logits matrix fits
@@ -120,6 +121,11 @@ def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
     these shapes.  Probabilities are normalized BEFORE the V matmul:
     the unnormalized-E @ V + divide-after variant measured 20x worse
     fp32 accuracy (2.3e-3 vs 1e-4 vs the XLA reference).
+
+    ``with_stats`` additionally writes the FA2 log-sum-exp
+    ``L = m + log(sum e)`` per row, so the backward can reconstruct
+    ``p = exp(s - L)`` without re-running the max/sum reductions and
+    the divide over the (T, T) tile (three VPU passes saved).
     """
     from jax.experimental import pallas as pl
 
@@ -144,11 +150,14 @@ def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref, *,
     s = jnp.where(valid, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    w = (e / denom).astype(v.dtype)
     out = jax.lax.dot_general(
         w, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
+    if with_stats:
+        maybe_l_ref[0][0, 0] = m + jnp.log(denom)
 
 
 # Full-matrix forward VMEM gate: (T, T) fp32 logits + exp live tiles.
@@ -156,7 +165,8 @@ _FWD_FULL_MAX_T = 1024
 
 
 def _flash_forward_full(q: Array, k: Array, v: Array, lengths: Array,
-                        slopes: Optional[Array], causal: bool) -> Array:
+                        slopes: Optional[Array], causal: bool,
+                        with_stats: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -165,16 +175,23 @@ def _flash_forward_full(q: Array, k: Array, v: Array, lengths: Array,
     if slopes is None:
         slopes = jnp.zeros((h,), jnp.float32)
     spec = pl.BlockSpec((1, 1, t, d), lambda b_, h_, *_: (b_, h_, 0, 0))
+    out_specs = spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_stats:
+        out_specs = [spec, pl.BlockSpec(
+            (1, 1, t, 1), lambda b_, h_, *_: (b_, h_, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_fwd_full_kernel, causal=causal,
-                          use_alibi=use_alibi),
+                          use_alibi=use_alibi, with_stats=with_stats),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, h),
             in_specs=[spec] * 3,
-            out_specs=spec,
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # (T, T) fp32 intermediates exceed the 16 MB default
             # scoped-vmem limit near T = 1024.
@@ -223,8 +240,8 @@ def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
 
 
 def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
-                      delta_ref, dq_ref, dk_ref, dv_ref, *,
-                      causal: bool, use_alibi: bool):
+                      delta_ref, *refs, causal: bool, use_alibi: bool,
+                      have_lse: bool):
     """Full-matrix attention backward for one (batch, head).
 
     T at training scale (<= ~1k) lets the whole (T, T) probability
@@ -238,9 +255,20 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     the O saved by the forward — dropping the in-kernel O = P V
     recompute takes the kernel from six to five T^2 D matmuls
     (621 -> 590 us/layer measured at the training shapes).
+
+    With ``have_lse`` the forward's log-sum-exp rows arrive as a
+    residual and the probabilities are reconstructed directly as
+    ``p = exp(s - L)`` — the (T, T) max-reduce, sum-reduce and divide
+    all drop out.  The 1/sqrt(d) scale is folded into the (T, D)
+    dq/dk outputs instead of the (T, T) ds tile (one more quadratic
+    VPU pass saved).
     """
     from jax.experimental import pallas as pl
 
+    if have_lse:
+        lse_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        dq_ref, dk_ref, dv_ref = refs
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     q = q_ref[0, 0]                            # (T, D)
@@ -262,25 +290,28 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     if causal:
         valid = valid & (k_pos <= q_pos)
     s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)         # (T, T) fp32
+    if have_lse:
+        p = jnp.exp(s - lse_ref[0, 0])                 # (T, T) fp32
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)     # (T, T) fp32
     pb = p.astype(v.dtype)
     # dV = P^T dO
     dv = jax.lax.dot_general(
         pb, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    # dP = dO V^T ; dS = P * (dP - delta) * scale
+    # dP = dO V^T ; dS = P * (dP - delta)  (scale folded into dq/dk)
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)    # (T, T)
+    ds = (p * (dp - delta)).astype(q.dtype)            # (T, T)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
@@ -344,13 +375,16 @@ def _flash_bwd_blockwise_kernel(len_ref, slope_ref, q_ref, k_ref,
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    # scale folded into the (block_q/Tk, D) outputs, not the
+    # quadratic ds tile (partial dk scales commute with the
+    # across-grid-step accumulation)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) * scale
     dk_p = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
     @pl.when(iq == 0)
@@ -417,7 +451,7 @@ def _flash_backward_blockwise(q, k, v, g, o, lengths, slopes, causal,
     return (dq[:, :, :tq], dk.astype(k.dtype), dv.astype(v.dtype))
 
 
-def _flash_backward(q, k, v, g, o, lengths, slopes, causal):
+def _flash_backward(q, k, v, g, o, lengths, slopes, causal, lse=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -429,20 +463,22 @@ def _flash_backward(q, k, v, g, o, lengths, slopes, causal):
                     axis=-1, keepdims=True)
     spec = pl.BlockSpec((1, 1, t, d), lambda b_, h_, *_: (b_, h_, 0, 0))
     dspec = pl.BlockSpec((1, 1, t, 1), lambda b_, h_, *_: (b_, h_, 0, 0))
+    have_lse = lse is not None
+    ins = [q, k, v, g, delta] + ([lse] if have_lse else [])
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, causal=causal,
-                          use_alibi=use_alibi),
+                          use_alibi=use_alibi, have_lse=have_lse),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, h),
-            in_specs=[spec] * 4 + [dspec],
+            in_specs=([spec] * 4 + [dspec]
+                      + ([dspec] if have_lse else [])),
             out_specs=[spec] * 3,
         ),
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
-    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32),
-      q, k, v, g, delta)
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32), *ins)
     return dq, dk, dv
 
 
@@ -492,21 +528,32 @@ def _warn_fallback(which: str) -> None:
 
 
 def _fwd(q, k, v, lengths, slopes, causal, block_q):
-    out = _dispatch(q, k, v, lengths, slopes, causal, block_q)
     # O is saved for the FA2-style delta precompute in the backward
-    # (rowsum(dO * O) in XLA instead of an in-kernel P V recompute).
-    return out, (q, k, v, out, lengths, slopes)
+    # (rowsum(dO * O) in XLA instead of an in-kernel P V recompute);
+    # on the full-matrix TPU path the forward also emits the row
+    # log-sum-exp so the backward skips its softmax re-reductions.
+    if (jax.default_backend() in ("tpu",)
+            and q.shape[2] == k.shape[2]
+            and k.shape[2] <= min(_FWD_FULL_MAX_T, _BWD_MAX_T)):
+        try:
+            out, lse = _flash_forward_full(q, k, v, lengths, slopes,
+                                           causal, with_stats=True)
+            return out, (q, k, v, out, lse, lengths, slopes)
+        except Exception:
+            _warn_fallback("forward")
+    out = _dispatch(q, k, v, lengths, slopes, causal, block_q)
+    return out, (q, k, v, out, None, lengths, slopes)
 
 
 def _bwd(causal, block_q, res, g):
-    q, k, v, o, lengths, slopes = res
+    q, k, v, o, lse, lengths, slopes = res
     if jax.default_backend() in ("tpu",):
         # Full-matrix kernel where the (T, T) tile fits VMEM (it wins
         # there: one grid step per (b, h)); blockwise beyond.
         if (q.shape[2] == k.shape[2] and k.shape[2] <= _BWD_MAX_T):
             try:
                 dq, dk, dv = _flash_backward(q, k, v, g, o, lengths,
-                                             slopes, causal)
+                                             slopes, causal, lse=lse)
                 return dq, dk, dv, None, None
             except Exception:
                 _warn_fallback("backward")
