@@ -6,7 +6,16 @@ output-domain divergence vs the fp path: token agreement, latent RMS
 ratio, decoded-mel RMS ratio — the measured numbers behind the
 PERFORMANCE.md quantization table (VERDICT r2 item 4).
 
-Usage: python tools/bench_quant_quality.py [batch] [length]
+A compact checkpoint from ``tools/train_smoke.py [steps] [every]
+[save_ckpt]`` should be passed as the third argument: at RANDOM init
+the token logits are near-uniform, so the rungs diverge at step 0 by
+construction (token agreement reads the 1/vocab chance floor — 0.010
+measured) and 500 untrained AR steps blow the latents up to NaN.
+Only a trained model with sharp logits measures quantization, not
+chaos.  Prompts come from the same synthetic distribution the smoke
+model was trained on (in-distribution rollouts).
+
+Usage: python tools/bench_quant_quality.py [batch] [length] [ckpt]
 """
 from __future__ import annotations
 
@@ -31,6 +40,7 @@ from vae_gslm_tpu.models.speech.lvtr import LVTR
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     length = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    ckpt = sys.argv[3] if len(sys.argv) > 3 else None
     precision.set_policy(precision.bf16_mixed())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hp = Hparams.from_yamlfile(os.path.join(
@@ -39,6 +49,9 @@ def main():
     def build():
         m = nnx.jit(lambda: LVTR(hp.model, input_dim=80,
                                  rngs=nnx.Rngs(0)))()
+        if ckpt is not None:
+            from vae_gslm_tpu.training.checkpoint import load_compact
+            load_compact(m, ckpt)
         m.decoder.override_sampling(sampling_timesteps=100,
                                     ddim_sampling_eta=0.5)
         _, p, _ = nnx.split(m, nnx.Param, ...)
@@ -50,8 +63,18 @@ def main():
 
     tp = 150
     rng = np.random.RandomState(0)
-    toks = rng.randint(0, 200, (batch, tp, 1)).astype(np.float32)
-    mel = (rng.randn(batch, tp, 80) * 0.5 - 1.0).astype(np.float32)
+    if ckpt is not None:
+        # in-distribution prompts: same synthetic process the smoke
+        # checkpoint was trained on (tools/train_smoke.py::synth_batch)
+        from tools.train_smoke import synth_batch
+        sb = synth_batch(rng, 1, batch, tp, 80,
+                         int(hp.model.tokens.vocab_size))
+        toks = np.asarray(sb["tokens"].value)[0][..., None].astype(
+            np.float32)
+        mel = np.asarray(sb["mel"].value)[0].astype(np.float32)
+    else:
+        toks = rng.randint(0, 200, (batch, tp, 1)).astype(np.float32)
+        mel = (rng.randn(batch, tp, 80) * 0.5 - 1.0).astype(np.float32)
     prior = Masked.from_lengths(
         jnp.asarray(np.concatenate([toks, mel], -1)),
         jnp.full((batch,), tp, np.int32))

@@ -12,7 +12,15 @@ Synthetic data: smooth low-rank mel trajectories + per-frame tokens
 derived from the mel content, so rec_loss, token CE and the KLD all
 have real structure to fit.
 
-Usage: python tools/train_smoke.py [steps] [log_every]
+Usage: python tools/train_smoke.py [steps] [log_every] [save_ckpt]
+
+With a third argument, the trained model is saved as a compact
+checkpoint (``save_ckpt`` path, npz) so downstream chip evals —
+``tools/bench_quant_quality.py`` in particular — can measure
+quantization deltas on a model with SHARP logits: at random init the
+token distribution is near-uniform over the vocab, so any two
+serving rungs diverge at step 0 by construction and token agreement
+reads at the 1/vocab chance floor (measured: 0.010 ≈ 1/200).
 """
 from __future__ import annotations
 
@@ -55,6 +63,7 @@ def synth_batch(rng, accum, b, t, n_mels, vocab):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     log_every = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    save_ckpt = sys.argv[3] if len(sys.argv) > 3 else None
     from flax import nnx
 
     from vae_gslm_tpu.hparams.hp import Hparams
@@ -99,6 +108,13 @@ def main():
                       f"kld {rec['kld']:.4f}  token {rec['token_kld']:.4f}"
                       f"  lr {rec['lr']:.2e}  grad {rec['grad_norm']:.1f}"
                       f"  t+{rec['wall_s']}s", flush=True)
+
+        if save_ckpt:
+            # trainer.save_checkpoint syncs the LIVE params pytree back
+            # into the module first — the jitted step donates params,
+            # so the module's init-time buffers are long deleted.
+            trainer.save_checkpoint(save_ckpt)
+            print(f"compact checkpoint saved to {save_ckpt}")
 
         out = os.path.join(root, "train_smoke_curve.json")
         with open(out, "w") as f:
