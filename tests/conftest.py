@@ -68,7 +68,13 @@ def _host_fingerprint() -> str:
 
 
 if not os.environ.get("VAE_GSLM_NO_COMPILE_CACHE"):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/root/repo/.jax_cache_cpu_{_host_fingerprint()}")
+    _cache_dir = f"/root/repo/.jax_cache_cpu_{_host_fingerprint()}"
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Subprocess tests (CLI scripts, multihost ranks) cold-compiled
+    # every run — the suite's dominant cost once the main process is
+    # cache-warm.  jax reads these env vars natively at import, and
+    # the fingerprinted dir already guarantees same-host entries, so
+    # exporting them extends the cache to every child process.
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+    os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"

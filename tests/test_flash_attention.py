@@ -154,3 +154,4 @@ def test_full_matrix_forward_and_delta_backward_tpu():
         scale = max(1.0, float(np.abs(np.asarray(r)).max()))
         e = np.abs(np.asarray(a) - np.asarray(r)).max()
         assert e < 2e-2 * scale, (name, e)
+

@@ -56,6 +56,13 @@ def test_two_process_train_step_matches_single_process(
                           "multihost_worker.py")
     env_base = {k: v for k, v in os.environ.items()
                 if not k.startswith(("XLA_", "VAE_GSLM_", "JAX_"))}
+    # the session compile cache (conftest) is same-host by
+    # construction — let the ranks reuse it instead of cold-compiling
+    # the identical global program twice per run
+    for k in ("JAX_COMPILATION_CACHE_DIR",
+              "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+        if k in os.environ:
+            env_base[k] = os.environ[k]
     procs = []
     for rank in (0, 1):
         env = dict(env_base,

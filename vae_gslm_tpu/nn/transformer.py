@@ -30,6 +30,15 @@ from .linear import Dense
 from .norms import get_norm
 from .positions import get_positional_encoding
 
+# Materialize the FFN activation before the second GEMM at training
+# scale (see TransformerLayer._ffn).  Measured on chip
+# (tools/bench_ffn_fusion.py, interleaved A/B): 98.7 -> 91.5 ms per
+# flagship microbatch — XLA otherwise fuses the (B, T, ffd)
+# packed-relu unpack INTO the linear2/dW GEMM fusions, where the conv
+# emitter re-runs it per output tile (~8 VPU passes over 42 MB).
+# Trace-time global, flipped by the probe tool for A/Bs.
+_FFN_MATERIALIZE = True
+
 Array = jax.Array
 
 
@@ -55,7 +64,15 @@ class TransformerLayer(nnx.Module):
         self.activation = get_activation(hp.activation)
 
     def _ffn(self, x: Array) -> Array:
-        return self.linear2(self.activation(self.linear1(x)))
+        h = self.activation(self.linear1(x))
+        if _FFN_MATERIALIZE and h.shape[-2] > 1:
+            # Fence the (B, T, ffd) activation out of the linear2 GEMM
+            # fusion so its elementwise chain is not re-run per output
+            # tile (chip A/B in the module-level comment).  Decode
+            # steps (T == 1) are left fused: the tile is tiny and the
+            # serving paths are separately chip-tuned.
+            h = jax.lax.optimization_barrier(h)
+        return self.linear2(h)
 
     def __call__(self, tgt: Masked,
                  memory: Optional[Masked] = None,
