@@ -155,3 +155,99 @@ def test_full_matrix_forward_and_delta_backward_tpu():
         e = np.abs(np.asarray(a) - np.asarray(r)).max()
         assert e < 2e-2 * scale, (name, e)
 
+
+
+def test_flash_attention_packed_matches_bhtd():
+    """flash_attention_packed consumes the raw (B, T, H*D) projection
+    layout; output and grads must match the BHTD call.  On CPU this
+    exercises the wrapper's relayout fallback; TPU kernel parity lives
+    in test_packed_kernel_tpu."""
+    from vae_gslm_tpu.ops.flash_attention import flash_attention_packed
+
+    rng = np.random.RandomState(3)
+    b, h, t, d = 2, 2, 8, 4
+    q = jnp.asarray(rng.randn(b, t, h * d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h * d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h * d), jnp.float32)
+    lengths = jnp.asarray([8, 5])
+    slopes = -jnp.asarray([0.25, 0.5])
+
+    def bhtd(x):
+        return jnp.transpose(x.reshape(b, t, h, d), (0, 2, 1, 3))
+
+    def packed(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+    out = flash_attention_packed(q, k, v, lengths, slopes, True, h)
+    ref = packed(flash_attention(bhtd(q), bhtd(k), bhtd(v), lengths,
+                                 slopes, True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
+
+    def loss_packed(q, k, v):
+        o = flash_attention_packed(q, k, v, lengths, slopes, True, h)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_bhtd(q, k, v):
+        o = flash_attention(bhtd(q), bhtd(k), bhtd(v), lengths,
+                            slopes, True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_bhtd, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernels need a TPU")
+def test_packed_kernel_tpu():
+    """The packed (B, T, H*D) kernels must actually LOWER on the chip
+    (no silent XLA fallback) and match the BHTD kernels at training
+    shapes with variable lengths, fwd + grads."""
+    from vae_gslm_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 4, 8, 641, 64
+    q = jnp.asarray(rng.randn(b, t, h * d) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h * d) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h * d) * 0.3, jnp.float32)
+    lengths = jnp.asarray([t, t // 2, 300, t], jnp.int32)
+    slopes = jnp.asarray(-(2.0 ** -np.arange(1, h + 1)), jnp.float32)
+
+    # the kernel itself must lower — bypass the fallback wrapper
+    out_k, lse = fa._flash_forward_full_packed(
+        q, k, v, lengths, slopes, True, h, with_stats=True)
+    assert lse.shape[2] == t
+
+    def bhtd(x):
+        return jnp.transpose(x.reshape(b, t, h, d), (0, 2, 1, 3))
+
+    def packed(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+    valid = (np.arange(t)[None, :]
+             < np.asarray(lengths)[:, None])[:, :, None]
+    ref = packed(flash_attention(bhtd(q), bhtd(k), bhtd(v), lengths,
+                                 slopes, True))
+    err = (np.abs(np.asarray(out_k) - np.asarray(ref)) * valid).max()
+    assert err < 5e-4, err
+
+    # grads through the packed custom_vjp (exercises the packed bwd
+    # kernel — eligible shapes, so no fallback)
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v)
+            return ((o * valid).astype(jnp.float32) ** 2).sum()
+        return f
+
+    g = jax.grad(loss(lambda q, k, v: fa.flash_attention_packed(
+        q, k, v, lengths, slopes, True, h)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: packed(flash_attention(
+        bhtd(q), bhtd(k), bhtd(v), lengths, slopes, True))),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("dq dk dv".split(), g, gr):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        rel = np.abs(a - b_).max() / (np.abs(b_).max() + 1e-9)
+        assert rel < 3e-2, (name, rel)

@@ -164,6 +164,208 @@ def _fwd_full_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, o_ref,
 _FWD_FULL_MAX_T = 1024
 
 
+# ---------------------------------------------------------------------
+# Packed-layout full-matrix kernels: q/k/v/o as (B, T, H*D) — the
+# model's native projection layout.  The round-4 training trace showed
+# the (B,T,H,D)<->(B,H,T,D) relayout copies around the BHTD kernels
+# costing ~4 ms/microbatch; this variant reads the projection outputs
+# directly.  Mosaic requires the last two block dims to be (mult-of-8,
+# mult-of-128) or full, so a (1, T, 1, D) per-head block is not
+# lowerable for D = 64; instead each grid step takes a (1, T, 128)
+# lane window = ``128 // D`` heads and unrolls them with STATIC lane
+# slices (dynamic lane offsets are not lowerable either).
+# ---------------------------------------------------------------------
+
+
+def _heads_per_block(d: int, hd: int) -> int:
+    """Heads per 128-lane block; 0 when the packed kernel can't apply."""
+    if d % 128 == 0:
+        return 1
+    if 128 % d == 0 and hd % 128 == 0:
+        return 128 // d
+    return 0
+
+
+def _fwd_full_packed_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref,
+                            o_ref, *maybe_l_ref, causal: bool,
+                            use_alibi: bool, d: int, hpb: int,
+                            with_stats: bool = False):
+    """Packed full-matrix forward: grid (B, H // hpb), block (1, T,
+    hpb*D); ``hpb`` heads unrolled per step with static lane slices."""
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ig = pl.program_id(1)
+    qg = q_ref[0]                              # (T, hpb*D)
+    kg = k_ref[0]
+    vg = v_ref[0]
+    t = qg.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    valid = k_pos < len_ref[ib]
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+    for j in range(hpb):
+        sl = slice(j * d, (j + 1) * d)
+        s = jax.lax.dot_general(
+            qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if use_alibi:
+            s = s + slope_ref[ig * hpb + j] * dist
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        w = (e / denom).astype(vg.dtype)
+        out = jax.lax.dot_general(
+            w, vg[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        if with_stats:
+            maybe_l_ref[0][0, 0, :, j] = (m + jnp.log(denom))[:, 0]
+
+
+def _flash_forward_full_packed(q, k, v, lengths, slopes, causal,
+                               nheads: int, with_stats: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, hd = q.shape
+    d = hd // nheads
+    hpb = _heads_per_block(d, hd)
+    assert hpb > 0 and nheads % hpb == 0
+    ng = nheads // hpb
+    use_alibi = slopes is not None
+    if slopes is None:
+        slopes = jnp.zeros((nheads,), jnp.float32)
+    spec = pl.BlockSpec((1, t, hpb * d),
+                        lambda b_, g_, *_: (b_, 0, g_))
+    out_specs = spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_stats:
+        lspec = pl.BlockSpec((1, 1, t, hpb),
+                             lambda b_, g_, *_: (b_, g_, 0, 0))
+        out_specs = [spec, lspec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, ng, t, hpb),
+                                          jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_fwd_full_packed_kernel, causal=causal,
+                          use_alibi=use_alibi, d=d, hpb=hpb,
+                          with_stats=with_stats),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ng),
+            in_specs=[spec] * 3,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32), q, k, v)
+    return out
+
+
+def _bwd_full_packed_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref,
+                            g_ref, delta_ref, lse_ref, dq_ref, dk_ref,
+                            dv_ref, *, causal: bool, use_alibi: bool,
+                            d: int, hpb: int):
+    """Packed full-matrix backward (LSE residual always present)."""
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ig = pl.program_id(1)
+    qg = q_ref[0]                              # (T, hpb*D)
+    kg = k_ref[0]
+    vg = v_ref[0]
+    gg = g_ref[0]
+    t = qg.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    valid = k_pos < len_ref[ib]
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+    for j in range(hpb):
+        sl = slice(j * d, (j + 1) * d)
+        q = qg[:, sl]
+        k = kg[:, sl]
+        v = vg[:, sl]
+        g = gg[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if use_alibi:
+            s = s + slope_ref[ig * hpb + j] * dist
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0, :, j][:, None])  # (T, T) fp32
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = delta_ref[0, 0, :, j][:, None]         # (T, 1)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_packed(q, k, v, g, o, lengths, slopes, causal,
+                           nheads: int, lse):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, hd = q.shape
+    d = hd // nheads
+    hpb = _heads_per_block(d, hd)
+    assert hpb > 0 and nheads % hpb == 0 and lse is not None
+    ng = nheads // hpb
+    use_alibi = slopes is not None
+    if slopes is None:
+        slopes = jnp.zeros((nheads,), jnp.float32)
+    # delta = rowsum(dO * O) per head: (B, ng, T, hpb), same blocking
+    # as the LSE residual.
+    delta = jnp.transpose(
+        jnp.sum((g.astype(jnp.float32) * o.astype(jnp.float32))
+                .reshape(b, t, ng, hpb, d), axis=-1),
+        (0, 2, 1, 3))
+    spec = pl.BlockSpec((1, t, hpb * d),
+                        lambda b_, g_, *_: (b_, 0, g_))
+    lspec = pl.BlockSpec((1, 1, t, hpb),
+                         lambda b_, g_, *_: (b_, g_, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_full_packed_kernel, causal=causal,
+                          use_alibi=use_alibi, d=d, hpb=hpb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ng),
+            in_specs=[spec] * 4 + [lspec, lspec],
+            out_specs=[spec] * 3,
+        ),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(lengths.astype(jnp.int32), slopes.astype(jnp.float32),
+      q, k, v, g, delta, lse)
+    return dq, dk, dv
+
+
 def _flash_forward_full(q: Array, k: Array, v: Array, lengths: Array,
                         slopes: Optional[Array], causal: bool,
                         with_stats: bool = False):
@@ -574,3 +776,82 @@ def _bwd(causal, block_q, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+def _packed_to_bhtd(x: Array, nheads: int) -> Array:
+    b, t, hd = x.shape
+    return jnp.transpose(x.reshape(b, t, nheads, hd // nheads),
+                         (0, 2, 1, 3))
+
+
+def _bhtd_to_packed(x: Array) -> Array:
+    b, h, t, d = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+
+def _packed_eligible(q: Array, k: Array, nheads: int) -> bool:
+    b, t, hd = q.shape
+    d = hd // nheads
+    hpb = _heads_per_block(d, hd)
+    return (hpb > 0 and nheads % hpb == 0 and k.shape[1] == t
+            and t <= min(_FWD_FULL_MAX_T, _BWD_MAX_T))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_packed(q, k, v, lengths, slopes, causal, nheads):
+    """Fused attention over the packed (B, T, H*D) projection layout.
+
+    Reads the QKV projection outputs directly and writes the layout
+    ``out_proj`` consumes — no (B,T,H,D)<->(B,H,T,D) relayout copies
+    (~4 ms/microbatch at flagship training shapes, round-4 trace).
+    Falls back to the BHTD kernels (via two transposes) off the
+    full-matrix envelope, and to XLA off-TPU.
+    """
+    if (jax.default_backend() in ("tpu",)
+            and _packed_eligible(q, k, nheads)):
+        try:
+            return _flash_forward_full_packed(q, k, v, lengths, slopes,
+                                              causal, nheads)
+        except Exception:
+            _warn_fallback("forward")
+    return _bhtd_to_packed(_dispatch(
+        _packed_to_bhtd(q, nheads), _packed_to_bhtd(k, nheads),
+        _packed_to_bhtd(v, nheads), lengths, slopes, causal, 128))
+
+
+def _fwd_packed(q, k, v, lengths, slopes, causal, nheads):
+    if (jax.default_backend() in ("tpu",)
+            and _packed_eligible(q, k, nheads)):
+        try:
+            out, lse = _flash_forward_full_packed(
+                q, k, v, lengths, slopes, causal, nheads,
+                with_stats=True)
+            return out, (q, k, v, out, lse, lengths, slopes)
+        except Exception:
+            _warn_fallback("forward")
+    out = flash_attention_packed(q, k, v, lengths, slopes, causal,
+                                 nheads)
+    return out, (q, k, v, None, None, lengths, slopes)
+
+
+def _bwd_packed(causal, nheads, res, g):
+    q, k, v, o, lse, lengths, slopes = res
+    if lse is not None:
+        try:
+            dq, dk, dv = _flash_backward_packed(
+                q, k, v, g, o, lengths, slopes, causal, nheads, lse)
+            return dq, dk, dv, None, None
+        except Exception:
+            _warn_fallback("backward")
+
+    def f(q, k, v):
+        return _bhtd_to_packed(_attention_reference(
+            _packed_to_bhtd(q, nheads), _packed_to_bhtd(k, nheads),
+            _packed_to_bhtd(v, nheads), lengths, slopes, causal))
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
