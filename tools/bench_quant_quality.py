@@ -142,6 +142,15 @@ def main():
                      / (np.sqrt(np.mean(ref_m ** 2)) + 1e-9))
         print(f"{name:<44} {agree:>9.3f} {first.mean():>6.0f} "
               f"{lat:>8.3f} {melr:>8.3f}")
+        # AR divergence is a per-sequence event (one flipped token
+        # decorrelates that sequence's whole remaining trajectory), so
+        # the mean div@ conflates "every sequence slightly earlier"
+        # with "one outlier sequence very early" — print the full
+        # distribution so the two cases are distinguishable.
+        dist = np.sort(first)
+        print(f"{'':<44} div@ per sequence: "
+              f"{np.array2string(dist, max_line_width=70)} "
+              f"(median {int(np.median(dist))})")
 
 
 if __name__ == "__main__":
