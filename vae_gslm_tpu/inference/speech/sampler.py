@@ -105,14 +105,23 @@ def _select_packed(batch: int, nheads: int, mesh) -> bool:
     headline 311x -> 190x (the (T, D, N) write pattern defeats the
     fast path), so auto gates to B < 128.  TPU-only by default
     (``auto``); VAE_GSLM_PACKED_CACHE=1 forces it elsewhere (CPU
-    parity tests), =0 disables.  Requires a replicated cache (no
-    mesh) and N % 128 == 0."""
+    parity tests), =0 disables.
+
+    Under a mesh the packed N axis is sharded over EVERY mesh axis
+    (``parallel/tp.py::constrain_packed_cache`` — decode attention is
+    parallel over (batch, head), so cache-sized traffic stays
+    device-local and only the tiny per-step q/out rows reshard);
+    requires N divisible by the mesh size, with per-SHARD lanes full
+    (N / nshards % 128 == 0) for the auto gate."""
     import os as _os
 
     env = _os.environ.get("VAE_GSLM_PACKED_CACHE", "auto")
     on_tpu = jax.default_backend() == "tpu"
-    lanes_full = (batch * nheads) % 128 == 0
-    return mesh is None and {
+    nshards = 1 if mesh is None else mesh.devices.size
+    if (batch * nheads) % nshards:
+        return False
+    lanes_full = (batch * nheads) % (128 * nshards) == 0
+    return {
         "auto": on_tpu and lanes_full and batch < 128,
         "1": True, "0": False}[env]
 
@@ -472,7 +481,12 @@ class ARTRSampler:
                 encoder_temperature, return_attn)
         _, state = nnx.split(self.model)
         state, prior = self._place(state, prior)
-        return self._compiled[sig](state, prior, key)
+        from ...parallel.tp import packed_cache_mesh
+        # Ambient during tracing (first call) so the packed per-layer
+        # cache picks up its N-axis sharding constraints under a mesh;
+        # inert afterwards.
+        with packed_cache_mesh(self.mesh):
+            return self._compiled[sig](state, prior, key)
 
 
 class DiscreteARSampler:

@@ -81,11 +81,27 @@ class LayerKVCache:
         if dtype == jnp.int8:
             sshape = ((max_len, batch * nheads) if packed
                       else (batch, nheads, max_len))
-            return cls(jnp.zeros(shape, jnp.int8),
-                       jnp.zeros(shape, jnp.int8),
-                       jnp.zeros(sshape, jnp.float32),
-                       jnp.zeros(sshape, jnp.float32))
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            out = cls(jnp.zeros(shape, jnp.int8),
+                      jnp.zeros(shape, jnp.int8),
+                      jnp.zeros(sshape, jnp.float32),
+                      jnp.zeros(sshape, jnp.float32))
+        else:
+            out = cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return out._constrain() if packed else out
+
+    def _constrain(self) -> "LayerKVCache":
+        """Under an ambient packed-cache mesh (multi-chip serving),
+        pin the packed N = B*H axis sharded over every mesh axis —
+        decode attention is parallel over (batch, head), so all
+        cache-sized traffic stays device-local and only the tiny
+        per-step q/out rows reshard (``parallel/tp.py``)."""
+        if not self.packed:
+            return self
+        from ..parallel.tp import constrain_packed_cache as cc
+        if self.quantized:
+            return LayerKVCache(cc(self.k), cc(self.v),
+                                cc(self.k_scale), cc(self.v_scale))
+        return LayerKVCache(cc(self.k), cc(self.v))
 
     @property
     def packed(self) -> bool:
@@ -126,14 +142,14 @@ class LayerKVCache:
                     jax.lax.dynamic_update_slice(
                         self.v_scale,
                         jnp.transpose(vs, (2, 0, 1)).reshape(s, b * h),
-                        sc_at))
+                        sc_at))._constrain()
             return LayerKVCache(
                 jax.lax.dynamic_update_slice(
                     self.k, self._pack_rows(k).astype(self.k.dtype),
                     (pos, 0, 0)),
                 jax.lax.dynamic_update_slice(
                     self.v, self._pack_rows(v).astype(self.v.dtype),
-                    (pos, 0, 0)))
+                    (pos, 0, 0)))._constrain()
         if self.quantized:
             kq, ks = _quantize_i8(k)
             vq, vs = _quantize_i8(v)

@@ -207,6 +207,63 @@ def constrain_seq(x):
         x, NamedSharding(mesh, P(data, "model", None)))
 
 
+# ---------------------------------------------------------------------
+# Lane-packed (T, D, B*H) decode-cache sharding (VERDICT r4 item 3).
+#
+# The packed per-layer KV cache keeps N = B*H on the 128 vector lanes
+# at any batch (fixes the B=64 base-layout cliff, r4) but was gated to
+# mesh-free serving: its flattened N axis can't express a separate
+# (batch-on-data, head-on-model) sharding, so multi-chip TP serving
+# silently fell back to the slow base layout.  The fix is to treat N
+# as ONE flat batch-like axis sharded over BOTH mesh axes
+# ``P(None, None, ("data", "model"))``: decode attention is
+# embarrassingly parallel over (batch, head), so every cache-sized
+# read/write (the decode bottleneck — ~5.5 GB/step at the flagship
+# point) stays device-local, and GSPMD only reshards the TINY per-step
+# q / out rows (B*H*D * 4 B ≈ 32 KB) between the head-sharded TP
+# matmuls and the N-sharded attention — an ICI all-to-all that costs
+# microseconds.  n = b*H + h is b-major, so contiguous N chunks are
+# batch blocks; divisibility gate: N % (mesh size) == 0.
+#
+# The context is made ambient by the sampler around its jitted build
+# (same pattern as ``flash_mesh``) so ``LayerKVCache`` can constrain
+# its arrays without threading mesh handles through the model.
+
+_ACTIVE_PACKED_MESH = None
+
+
+@contextlib.contextmanager
+def packed_cache_mesh(mesh: Optional[Mesh]):
+    """Activate packed-cache N-axis sharding constraints for ``mesh``
+    (no-op for single-device meshes)."""
+    global _ACTIVE_PACKED_MESH
+    prev = _ACTIVE_PACKED_MESH
+    if mesh is not None and mesh.devices.size > 1:
+        _ACTIVE_PACKED_MESH = mesh
+    else:
+        _ACTIVE_PACKED_MESH = None
+    try:
+        yield
+    finally:
+        _ACTIVE_PACKED_MESH = prev
+
+
+def constrain_packed_cache(x):
+    """Constrain a packed cache array — (T, D, N) k/v or (T, N)
+    scales — to N sharded over every ambient mesh axis.  Identity
+    when no packed-cache mesh is ambient or N doesn't divide."""
+    mesh = _ACTIVE_PACKED_MESH
+    if mesh is None or getattr(x, "ndim", 0) not in (2, 3):
+        return x
+    axes = tuple(a for a in mesh.axis_names
+                 if dict(mesh.shape)[a] > 1)
+    if not axes or x.shape[-1] % mesh.devices.size:
+        return x
+    spec = (P(None, None, axes) if x.ndim == 3 else P(None, axes))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, spec))
+
+
 def shard_map_flash(q, k, v, lengths, slopes, causal: bool,
                     mesh_axes: Tuple[Mesh, Optional[str],
                                      Optional[str]]):
