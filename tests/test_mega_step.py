@@ -137,6 +137,39 @@ def test_mega_kernel_chunked_mm_matches_reference():
             rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("flushed,pos", [(0, 40), (128, 140)])
+def test_mega_kernel_a8_matches_reference(flushed, pos):
+    """The s8 x s8 dense-matmul path (``a8=True``: per-row activation
+    quantization, no weight upconversion) must match its plain-JAX
+    replication exactly, and stay within the expected int8
+    quantization band of the bf16-matmul reference."""
+    m = _stack()
+    weights = m.build_mega_decode()
+    b = 8
+    cache = _cache(b, 2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, D) * 0.3, jnp.float32)
+    slopes = m.rpe.slopes[...]
+    outs_k = fused_trunk_step(x, weights, cache, jnp.asarray(pos),
+                              slopes, flushed=flushed, interpret=True,
+                              a8=True)
+    outs_r = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed,
+                                        a8=True)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-3, atol=2e-4, err_msg=name)
+    # activation quantization vs the bf16 path: bounded relative delta
+    outs_b = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_b):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        rel = np.abs(a - bb).max() / (np.abs(bb).max() + 1e-9)
+        assert rel < 0.05, f"{name}: a8 vs bf16 rel {rel:.3f}"
+
+
 def test_stage_merge_flush_roundtrip():
     """Drive stage_append/merge_stage/flush_mega over 2*STAGE rows
     and check the rows land where the kernel's masks expect them."""

@@ -796,6 +796,8 @@ class TransformerLayerStack(nnx.Module):
         cache, plus the per-step bf16 stage append.  The caller owns
         the every-8-step ``merge_stage`` and every-128-step
         ``flush_mega`` cadence."""
+        import os as _os
+
         from ..ops.mega_step import (STAGE, fused_trunk_step,
                                      stage_append)
 
@@ -806,9 +808,14 @@ class TransformerLayerStack(nnx.Module):
         b, s, d = xv.shape
         assert s == 1
         slopes = self.rpe.slopes[...]
+        # s8 x s8 dense matmuls (per-row activation quantization):
+        # kills the int8->bf16 weight upconversion VPU pass over every
+        # streamed weight byte and runs the MXU at its doubled int8
+        # rate.  Chip-measured at B=8 (PERFORMANCE.md round 5).
+        a8 = _os.environ.get("VAE_GSLM_MEGA_A8", "0") == "1"
         xo, kn, vn = fused_trunk_step(
             xv[:, 0].astype(jnp.float32), weights, cache, pos,
-            slopes, flushed=flushed, interpret=interpret)
+            slopes, flushed=flushed, interpret=interpret, a8=a8)
         cache = stage_append(cache, kn, vn,
                              jax.lax.rem(pos - flushed, STAGE))
         x = xo[:, None].astype(xv.dtype)

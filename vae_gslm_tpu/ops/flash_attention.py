@@ -290,33 +290,57 @@ def _bwd_full_packed_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref,
     if causal:
         valid = valid & (k_pos <= q_pos)
     dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+    # Transposed-orientation masks: rows = keys, cols = queries.
+    valid_t = q_pos < len_ref[ib]          # q_pos iota dim 0 = key idx
+    if causal:
+        valid_t = valid_t & (q_pos <= k_pos)
     for j in range(hpb):
         sl = slice(j * d, (j + 1) * d)
         q = qg[:, sl]
         k = kg[:, sl]
         v = vg[:, sl]
         g = gg[:, sl]
+        lse = lse_ref[0, 0, :, j]                      # (T,)
+        delta = delta_ref[0, 0, :, j]                  # (T,)
+        # --- orientation 1: rows = queries (feeds dq) -------------
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if use_alibi:
             s = s + slope_ref[ig * hpb + j] * dist
         s = jnp.where(valid, s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0, :, j][:, None])  # (T, T) fp32
-        pb = p.astype(v.dtype)
-        dv = jax.lax.dot_general(
-            pb, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse[:, None])                  # (T, T) fp32
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        delta = delta_ref[0, 0, :, j][:, None]         # (T, 1)
-        ds = (p * (dp - delta)).astype(q.dtype)
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        # --- orientation 2: rows = keys (feeds dk, dv) ------------
+        # The naive dV = P^T dO / dK = dS^T Q contractions run over
+        # dim 0 of a (T, T) operand, which Mosaic lowers as a full
+        # (T, T) transpose.  Recomputing the probability tile in the
+        # TRANSPOSED orientation from the same LSE residual (FA2's
+        # two-loop structure fused in one kernel) replaces those
+        # transposes with two extra cheap T^2 D matmuls, keeping all
+        # four (T, T)-operand contractions MXU-native.
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if use_alibi:
+            st = st + slope_ref[ig * hpb + j] * dist
+        st = jnp.where(valid_t, st, NEG_INF)
+        pt = jnp.exp(st - lse[None, :])                # (T, T) fp32
+        dv = jax.lax.dot_general(
+            pt.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            v, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dst = (pt * (dpt - delta[None, :])).astype(q.dtype)
         dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            dst, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
@@ -456,7 +480,11 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     ``delta = rowsum(dO * O)`` arrives precomputed (FA2-style) from
     the O saved by the forward — dropping the in-kernel O = P V
     recompute takes the kernel from six to five T^2 D matmuls
-    (621 -> 590 us/layer measured at the training shapes).
+    (621 -> 590 us/layer measured at the training shapes).  The
+    probability tile is then recomputed in BOTH row orientations so
+    no (T, T) operand is ever contracted over dim 0 (which Mosaic
+    lowers as a materialized transpose): seven MXU-native T^2 D
+    matmuls total.
 
     With ``have_lse`` the forward's log-sum-exp rows arrive as a
     residual and the probabilities are reconstructed directly as
@@ -493,16 +521,13 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
         valid = valid & (k_pos <= q_pos)
     s = jnp.where(valid, s, NEG_INF)
     if have_lse:
-        p = jnp.exp(s - lse_ref[0, 0])                 # (T, T) fp32
+        lse = lse_ref[0, 0]                            # (T, 1) fp32
     else:
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)     # (T, T) fp32
-    pb = p.astype(v.dtype)
-    # dV = P^T dO
-    dv = jax.lax.dot_general(
-        pb, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        lse = m + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1,
+                                  keepdims=True))
+    # --- orientation 1: rows = queries (feeds dq) -----------------
+    p = jnp.exp(s - lse)                               # (T, T) fp32
     # dP = dO V^T ; dS = P * (dP - delta)  (scale folded into dq/dk)
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
@@ -511,8 +536,32 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    # --- orientation 2: rows = keys (feeds dk, dv) ----------------
+    # dV = P^T dO and dK = dS^T Q contract over dim 0 of a (T, T)
+    # operand, which Mosaic lowers as a full (T, T) transpose.
+    # Recompute the probability tile in the TRANSPOSED orientation
+    # from the same LSE residual (FA2's two loops fused in one
+    # kernel): the transposes become two extra cheap T^2 D matmuls
+    # and every (T, T)-operand contraction stays MXU-native.
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if use_alibi:
+        st = st + slope * jnp.abs(k_pos - q_pos).astype(jnp.float32)
+    valid_t = q_pos < len_ref[ib]      # iota dim 0 = key index here
+    if causal:
+        valid_t = valid_t & (q_pos <= k_pos)
+    st = jnp.where(valid_t, st, NEG_INF)
+    pt = jnp.exp(st - lse[:, 0][None, :])              # (T, T) fp32
+    dv = jax.lax.dot_general(
+        pt.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(
+        v, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dst = (pt * (dpt - delta[:, 0][None, :])).astype(q.dtype)
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        dst, q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)

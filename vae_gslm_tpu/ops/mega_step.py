@@ -95,7 +95,8 @@ def _kernel(scalars_ref,
             x_s, qkv_s, g_s,
             kb, vb, ksb, vsb, sems,
             *, nlayers: int, nheads: int, head_dim: int, dim: int,
-            flushed: int, batch: int, nslot: int, mm_chunk: int):
+            flushed: int, batch: int, nslot: int, mm_chunk: int,
+            a8: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,7 +129,27 @@ def _kernel(scalars_ref,
         through the dot, which is what pushed B=32 1.63 MB past the
         VMEM stack limit (chip_results/bench_b32_mega3.err).
         1024-column chunks cap the temp at 2 MB; at B<=16 the
-        unchunked form stays (one big MXU dot, no concat)."""
+        unchunked form stays (one big MXU dot, no concat).
+
+        With ``a8`` the activation rows are quantized per-row to int8
+        and the product runs s8 x s8 -> s32 on the MXU: the
+        (din, dout) int8->bf16 weight upconversion (a VPU pass over
+        every streamed weight byte — the largest non-roofline cost in
+        the round-3 ladder's "+dense matmuls" rung) disappears
+        entirely, the MXU runs at its doubled int8 rate, and no bf16
+        weight temp exists (so no ``mm_chunk`` VMEM pressure either).
+        Numerics precedent: the attention phase already int8-quantizes
+        q and the probability rows the same way (per-row amax/127)."""
+        if a8:
+            xf = xin.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax, 1e-8) / 127.0
+            x8 = jnp.round(xf / xs).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x8, w_ref[...].reshape(din, dout),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (xs * scales)
         xb = xin.astype(jnp.bfloat16)
         if not mm_chunk or dout <= mm_chunk:
             w = w_ref[...].reshape(din, dout).astype(jnp.bfloat16)
@@ -292,13 +313,27 @@ def _kernel(scalars_ref,
         l_f = l * corr + e_self
         acc_f = acc * corr + e_self * v_cur
 
-        attn = (acc_f / l_f).astype(jnp.bfloat16)   # (GH, 1, Dh)
-        wo = wo_ref[...].reshape(d, d).astype(jnp.bfloat16)
         y = jnp.zeros((b, d), jnp.float32)
-        for h0 in range(h):
-            a_h = attn[h0 * b:(h0 + 1) * b, 0]        # (B, Dh)
-            y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
-                            preferred_element_type=jnp.float32)
+        if a8:
+            attn = acc_f / l_f                        # (GH, 1, Dh) f32
+            wo8 = wo_ref[...].reshape(d, d)
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]    # (B, Dh)
+                amax = jnp.max(jnp.abs(a_h), axis=-1, keepdims=True)
+                asx = jnp.maximum(amax, 1e-8) / 127.0
+                a8_h = jnp.round(a_h / asx).astype(jnp.int8)
+                y = y + jax.lax.dot_general(
+                    a8_h, wo8[h0 * dh:(h0 + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * asx
+        else:
+            attn = (acc_f / l_f).astype(jnp.bfloat16)  # (GH, 1, Dh)
+            wo = wo_ref[...].reshape(d, d).astype(jnp.bfloat16)
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]    # (B, Dh)
+                y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
+                                preferred_element_type=jnp.float32)
         x_s[...] = x_s[...] + y * so_ref[li] + bo_ref[li]
 
     # --------------------------------------------------- p 2: FFN up
@@ -331,12 +366,13 @@ def _kernel(scalars_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("flushed", "interpret", "nslot",
-                                    "mm_chunk"))
+                                    "mm_chunk", "a8"))
 def fused_trunk_step(x: Array, weights, cache: dict,
                      pos: Array, slopes: Array, flushed: int,
                      interpret: bool = False,
                      nslot: int | None = None,
-                     mm_chunk: int | None = None):
+                     mm_chunk: int | None = None,
+                     a8: bool = False):
     """One full trunk AR step over the mega cache.
 
     x: (B, D) residual stream; ``weights`` is the dict from
@@ -453,7 +489,7 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     outs = pl.pallas_call(
         functools.partial(_kernel, nlayers=nl, nheads=h, head_dim=dh,
                           dim=d, flushed=flushed, batch=b,
-                          nslot=nslot, mm_chunk=mm_chunk),
+                          nslot=nslot, mm_chunk=mm_chunk, a8=a8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -547,10 +583,10 @@ def flush_mega(cache: dict, flushed_prev: int) -> dict:
 
 
 def fused_trunk_step_reference(x, weights, cache, pos, slopes,
-                               flushed):
+                               flushed, a8=False):
     """Plain-JAX replication of the kernel's exact math (bf16 matmuls,
-    int8 QK/AV with per-block u-quantization, bf16 stage tier) for
-    validation."""
+    int8 QK/AV with per-block u-quantization, bf16 stage tier; with
+    ``a8`` the s8 x s8 dense-matmul path) for validation."""
     b, d = x.shape
     nl = weights["wq"].shape[0]
     h = cache["k_tail"].shape[1]
@@ -569,6 +605,15 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
         return xx * jax.lax.rsqrt(ms + 1e-6) * nsc
 
     def mm(xin, w8, scales):
+        if a8:
+            xf = xin.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax, 1e-8) / 127.0
+            x8 = jnp.round(xf / xs).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x8, w8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (xs * scales)
         w = w8.astype(jnp.bfloat16)
         y = jnp.dot(xin.astype(jnp.bfloat16), w,
                     preferred_element_type=jnp.float32)
@@ -669,13 +714,27 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
         e_self = jnp.exp(s_self - m_f)
         l_f = l * corr + e_self
         acc_f = acc * corr + e_self * v_cur
-        attn = (acc_f / l_f).astype(jnp.bfloat16)
-        wo = weights["wo"][li].astype(jnp.bfloat16)
         y = jnp.zeros((b, d), jnp.float32)
-        for h0 in range(h):
-            a_h = attn[h0 * b:(h0 + 1) * b, 0]
-            y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
-                            preferred_element_type=jnp.float32)
+        if a8:
+            attn = acc_f / l_f
+            wo8 = weights["wo"][li]
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]
+                amax = jnp.max(jnp.abs(a_h), axis=-1, keepdims=True)
+                asx = jnp.maximum(amax, 1e-8) / 127.0
+                a8_h = jnp.round(a_h / asx).astype(jnp.int8)
+                y = y + jax.lax.dot_general(
+                    a8_h, wo8[h0 * dh:(h0 + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * asx
+        else:
+            attn = (acc_f / l_f).astype(jnp.bfloat16)
+            wo = weights["wo"][li].astype(jnp.bfloat16)
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]
+                y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
+                                preferred_element_type=jnp.float32)
         x = x + y * weights["so"][li] + weights["bo"][li]
         h2 = rms(x, weights["n3"][li])
         g = _gelu_exact(mm(h2, weights["w1"][li], weights["s1"][li])
