@@ -272,7 +272,7 @@ def _flash_forward_full_packed(q, k, v, lengths, slopes, causal,
 def _bwd_full_packed_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref,
                             g_ref, delta_ref, lse_ref, dq_ref, dk_ref,
                             dv_ref, *, causal: bool, use_alibi: bool,
-                            d: int, hpb: int):
+                            d: int, hpb: int, orient2: bool):
     """Packed full-matrix backward (LSE residual always present)."""
     from jax.experimental import pallas as pl
 
@@ -317,14 +317,23 @@ def _bwd_full_packed_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref,
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if not orient2:
+            # dim-0 contractions: MXU-native (stationary operand is
+            # loaded transposed in hardware) — see _flash_bwd_kernel.
+            dv = jax.lax.dot_general(
+                p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+            continue
         # --- orientation 2: rows = keys (feeds dk, dv) ------------
-        # The naive dV = P^T dO / dK = dS^T Q contractions run over
-        # dim 0 of a (T, T) operand, which Mosaic lowers as a full
-        # (T, T) transpose.  Recomputing the probability tile in the
-        # TRANSPOSED orientation from the same LSE residual (FA2's
-        # two-loop structure fused in one kernel) replaces those
-        # transposes with two extra cheap T^2 D matmuls, keeping all
-        # four (T, T)-operand contractions MXU-native.
+        # Dual-orientation probability recompute from the same LSE
+        # residual (FA2's two-loop structure fused in one kernel):
+        # no (T, T) operand contracted over dim 0.
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -360,6 +369,9 @@ def _flash_backward_packed(q, k, v, g, o, lengths, slopes, causal,
     use_alibi = slopes is not None
     if slopes is None:
         slopes = jnp.zeros((nheads,), jnp.float32)
+    import os as _os
+
+    orient2 = _os.environ.get("VAE_GSLM_BWD_ORIENT2", "0") == "1"
     # delta = rowsum(dO * O) per head: (B, ng, T, hpb), same blocking
     # as the LSE residual.
     delta = jnp.transpose(
@@ -372,7 +384,8 @@ def _flash_backward_packed(q, k, v, g, o, lengths, slopes, causal,
                          lambda b_, g_, *_: (b_, g_, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_full_packed_kernel, causal=causal,
-                          use_alibi=use_alibi, d=d, hpb=hpb),
+                          use_alibi=use_alibi, d=d, hpb=hpb,
+                          orient2=orient2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, ng),
@@ -467,7 +480,7 @@ def _flash_forward(q: Array, k: Array, v: Array, lengths: Array,
 
 def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
                       delta_ref, *refs, causal: bool, use_alibi: bool,
-                      have_lse: bool):
+                      have_lse: bool, orient2: bool):
     """Full-matrix attention backward for one (batch, head).
 
     T at training scale (<= ~1k) lets the whole (T, T) probability
@@ -480,11 +493,15 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     ``delta = rowsum(dO * O)`` arrives precomputed (FA2-style) from
     the O saved by the forward — dropping the in-kernel O = P V
     recompute takes the kernel from six to five T^2 D matmuls
-    (621 -> 590 us/layer measured at the training shapes).  The
-    probability tile is then recomputed in BOTH row orientations so
-    no (T, T) operand is ever contracted over dim 0 (which Mosaic
-    lowers as a materialized transpose): seven MXU-native T^2 D
-    matmuls total.
+    (621 -> 590 us/layer measured at the training shapes).
+
+    ``orient2`` (env ``VAE_GSLM_BWD_ORIENT2``) recomputes the
+    probability tile in BOTH row orientations so no (T, T) operand is
+    contracted over dim 0.  Chip A/B at T=641: 991 vs 505 us/layer —
+    the dim-0 contractions are MXU-native (the stationary operand is
+    loaded transposed in hardware), so the five-matmul form stays the
+    default and the dual-orientation variant is kept only as a
+    measured-negative probe.
 
     With ``have_lse`` the forward's log-sum-exp rows arrive as a
     residual and the probabilities are reconstructed directly as
@@ -536,13 +553,26 @@ def _flash_bwd_kernel(len_ref, slope_ref, q_ref, k_ref, v_ref, g_ref,
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    if not orient2:
+        # dim-0 contractions over the (T, T) tiles: the MXU loads the
+        # stationary operand transposed natively, so these are NOT
+        # materialized transposes (chip A/B vs the dual-orientation
+        # recompute below: 505 vs 991 us/layer — orientation recompute
+        # doubles the live fp32 tile set past scoped VMEM and spills).
+        dv = jax.lax.dot_general(
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        return
     # --- orientation 2: rows = keys (feeds dk, dv) ----------------
-    # dV = P^T dO and dK = dS^T Q contract over dim 0 of a (T, T)
-    # operand, which Mosaic lowers as a full (T, T) transpose.
     # Recompute the probability tile in the TRANSPOSED orientation
     # from the same LSE residual (FA2's two loops fused in one
-    # kernel): the transposes become two extra cheap T^2 D matmuls
-    # and every (T, T)-operand contraction stays MXU-native.
+    # kernel), so no (T, T) operand is contracted over dim 0.
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -703,6 +733,8 @@ def _flash_backward_blockwise(q, k, v, g, o, lengths, slopes, causal,
 
 
 def _flash_backward(q, k, v, g, o, lengths, slopes, causal, lse=None):
+    import os as _os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -715,16 +747,24 @@ def _flash_backward(q, k, v, g, o, lengths, slopes, causal, lse=None):
     spec = pl.BlockSpec((1, 1, t, d), lambda b_, h_, *_: (b_, h_, 0, 0))
     dspec = pl.BlockSpec((1, 1, t, 1), lambda b_, h_, *_: (b_, h_, 0, 0))
     have_lse = lse is not None
+    orient2 = _os.environ.get("VAE_GSLM_BWD_ORIENT2", "0") == "1"
     ins = [q, k, v, g, delta] + ([lse] if have_lse else [])
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, causal=causal,
-                          use_alibi=use_alibi, have_lse=have_lse),
+                          use_alibi=use_alibi, have_lse=have_lse,
+                          orient2=orient2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, h),
             in_specs=([spec] * 4 + [dspec]
                       + ([dspec] if have_lse else [])),
             out_specs=[spec] * 3,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # several (T, T) fp32/bf16 tiles live at once: the 16 MB
+            # default scoped-vmem limit forces spills near T = 1024
+            # (and everywhere for the dual-orientation variant)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
