@@ -54,8 +54,13 @@ def test_train_cli(setup):
     root, corpus, voc = setup
     log_dir = root / "exp"
     cfg = root / "train.yaml"
-    cfg.write_text(TRAIN_HP.format(log_dir=log_dir, vocoder_dir=voc,
-                                   corpus=corpus))
+    # num_samples 0: end-of-fit val AUDIO generation (AR sampler +
+    # diffusion + vocoder — the bulk of this subprocess's compile
+    # time) is covered in-process by test_e2e_train_then_infer; this
+    # test is about the CLI entry path, flags and checkpoint layout.
+    cfg.write_text(TRAIN_HP.format(
+        log_dir=log_dir, vocoder_dir=voc, corpus=corpus
+    ).replace("num_samples: 1", "num_samples: 0"))
     r = _run(["vae_gslm_tpu.scripts.train", "-c", str(cfg),
               "--max_steps", "2"], cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-3000:]

@@ -37,20 +37,10 @@ def _free_port() -> int:
 @requires_8
 def test_two_process_train_step_matches_single_process(
         vocoder_dir, tmp_path):
-    # Baseline: single process, 8 virtual devices, full global batch.
-    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
-    hp = Hparams.from_yaml(TRAIN_HP.format(
-        fsdp="false", log_dir=tmp_path / "base",
-        vocoder_dir=vocoder_dir))
-    base = LVTRTrainer(hp)
-    base_metrics = []
-    for seed in (0, 1):
-        base_metrics.append(
-            {k: float(v) for k, v in base.run_step(_batch(seed=seed)
-                                                   ).items()})
-        base.global_step += 1
-
-    # 2-process run: same trainer, rank-local half batches.
+    # 2-process run LAUNCHED FIRST: their ~25 s/process import +
+    # trainer-construction phase overlaps the in-process baseline
+    # below on a multi-core host (and costs nothing extra on one
+    # core, where the scheduler interleaves the same total work).
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),
                           "multihost_worker.py")
@@ -73,6 +63,20 @@ def test_two_process_train_step_matches_single_process(
             [sys.executable, worker, str(vocoder_dir), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
+
+    # Baseline: single process, 8 virtual devices, full global batch.
+    from vae_gslm_tpu.trainers.speech.lvtr import LVTRTrainer
+    hp = Hparams.from_yaml(TRAIN_HP.format(
+        fsdp="false", log_dir=tmp_path / "base",
+        vocoder_dir=vocoder_dir))
+    base = LVTRTrainer(hp)
+    base_metrics = []
+    for seed in (0, 1):
+        base_metrics.append(
+            {k: float(v) for k, v in base.run_step(_batch(seed=seed)
+                                                   ).items()})
+        base.global_step += 1
+
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=900)
