@@ -14,23 +14,20 @@ VAE_GSLM_PROCESS_ID):  python multihost_worker.py <vocoder_dir> <tmp>
 import json
 import os
 import sys
-import time
 
 os.environ["VAE_GSLM_FORCE_CPU"] = "1"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.setdefault("VAE_GSLM_NO_COMPILE_CACHE", "1")
 
 
-def _wait_for(path: str, cap_s: float = 90.0) -> None:
-    """Bounded wait for rank 0's compile sentinel: both ranks compile
-    the identical SPMD step program, so letting rank 0 finish first
-    (``precompile_step`` — lower+compile only, no collective, hence no
-    cross-rank deadlock) turns rank 1's compile into a persistent-
-    cache load instead of a second full compile on the shared host
-    CPU.  Proceeds after ``cap_s`` regardless."""
-    deadline = time.time() + cap_s
-    while time.time() < deadline and not os.path.exists(path):
-        time.sleep(0.5)
+# NOTE (round 5): a rank-0 ``.lower().compile()`` + sentinel scheme to
+# dedup the two ranks' identical step compiles was tried and REVERTED:
+# explicit AOT compilation on XLA:CPU targets different machine
+# features (+prefer-no-gather) than the JIT path, and the persistent-
+# cache entry it writes crashes the peer's load ON THE SAME HOST
+# (cpu_aot_loader "machine feature not supported").  Both ranks
+# compiling concurrently is the safe behavior; the persistent cache
+# still dedups across RUNS.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -59,15 +56,6 @@ def main() -> None:
     trainer = LVTRTrainer(hp)
     assert trainer.mesh.devices.size == 8
     assert trainer._is_main == (rank == 0)
-    sentinel = os.path.join(tmp, "rank0_step_compiled")
-    if rank == 0:
-        first = jax.tree_util.tree_map(
-            lambda x: x[:, :8], _batch(seed=0))
-        trainer.precompile_step(first)
-        with open(sentinel, "w"):
-            pass
-    else:
-        _wait_for(sentinel)
 
     for step, seed in enumerate((0, 1)):
         full = _batch(seed=seed)              # identical on both ranks

@@ -247,22 +247,6 @@ class LVTRTrainer(BaseTrainer):
         # Micro-batch axis is leading: shard on axis 1 (batch).
         return mesh_lib.shard_batch(stacked_batch, self.mesh, axis=1)
 
-    def precompile_step(self, stacked_batch) -> None:
-        """Compile the jitted train step for this batch's shapes
-        WITHOUT executing it.  No collective ever runs, so a single
-        rank of a multi-process job can warm the persistent compile
-        cache while its peers wait — turning N identical concurrent
-        compiles of the SPMD step program into one compile plus N
-        cache loads (tests/multihost_worker.py)."""
-        if self._train_step is None:
-            self._train_step = self._build_train_step()
-        batch = self._prep_batch(stacked_batch)
-        with self.parallel_context():
-            self._train_step.lower(
-                self.params, self.rest, self.opt_state, batch,
-                jnp.asarray(self.global_step),
-                jax.random.PRNGKey(0)).compile()
-
     def run_step(self, stacked_batch) -> Dict[str, Any]:
         if self._train_step is None:
             self._train_step = self._build_train_step()
