@@ -227,15 +227,18 @@ def _mega_lvtr_hp():
     return Hparams.from_dict(d)
 
 
-@pytest.mark.parametrize("tp,length", [(6, 20), (130, 12), (6, 200)])
+@pytest.mark.parametrize("tp,length", [(130, 12), (6, 200)])
 def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
     """The one-kernel-per-step mega decode path (forced via
     VAE_GSLM_MEGA_DECODE=1; kernel in interpret mode on CPU) must
     reproduce the per-layer decode path sample-for-sample — across
-    partial stage groups, 8-row merges, (tp=130) a flushed cold
-    block, and (length=200 ≥ 1.5× the 128-step flush window,
-    VERDICT r3 item 6) a full in-generation merge+flush sequence:
-    ~25 stage merges plus a tail→cold flush at step 128."""
+    (tp=130) a flushed cold block, and (length=200 ≥ 1.5× the
+    128-step flush window, VERDICT r3 item 6) a full in-generation
+    merge+flush sequence: ~25 stage merges plus a tail→cold flush at
+    step 128.  (A third (6, 20) partial-group rung was dropped for
+    suite time: its stage-merge coverage is a strict subset of the
+    (6, 200) rung, and the torch-golden mega rollout in
+    test_reference_parity.py covers the same cadence independently.)"""
     from tests.test_models import N_MELS
     from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
 

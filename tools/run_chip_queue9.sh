@@ -31,4 +31,13 @@ timeout 3600 python -u tools/bench_bwd_variants.py \
 timeout 3600 python -u tools/profile_train.py /tmp/xplane_r5 \
     > $R/profile_train_r5.log 2>&1 || true
 
+# a8 default decision needs SAME-SESSION pairs at the other mega
+# batch points (B=8 pair measured in queue 8: 150.1 vs 144.6 median)
+for B in 16 32; do
+  BENCH_BATCH=$B BENCH_W_INT8=1 VAE_GSLM_MEGA_A8=1 timeout 3600 \
+      python -u bench.py > $R/bench_b${B}_a8b.json 2> $R/bench_b${B}_a8b.err
+  BENCH_BATCH=$B BENCH_W_INT8=1 timeout 3600 \
+      python -u bench.py > $R/bench_b${B}_ctl_r5.json 2> $R/bench_b${B}_ctl_r5.err
+done
+
 echo done > $R/queue9.done
