@@ -9,12 +9,17 @@ import jax
 import pytest
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
 
+    # Suite mirror runs phases 1+2 (DP + TP) only: phases 2b/2c/3 are
+    # covered by the dedicated parity tests (test_fsdp, test_pp,
+    # test_tp — incl. flagship-width packed-cache TP sampling); the
+    # driver gate runs the full phase list.
+    monkeypatch.setenv("VAE_GSLM_DRYRUN_PHASES", "2")
     dryrun_multichip(8)
 
 
