@@ -254,6 +254,13 @@ def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
 
     monkeypatch.setenv("VAE_GSLM_MEGA_DECODE", "1")
     monkeypatch.setenv("VAE_GSLM_HYBRID_DECODE", "0")
+    # Pin the bf16-matmul mega variant: this test asserts the
+    # three-tier CACHE mechanics against the per-layer path at
+    # int8-jitter tolerance; the s8xs8 (a8) variant's extra
+    # activation-quant delta diverges long rollouts past that bound
+    # by design and has its own parity tests (test_mega_step) and
+    # chip quality rung (quant_quality_b8_a8.txt).
+    monkeypatch.setenv("VAE_GSLM_MEGA_A8", "0")
     m = LVTR(hp, input_dim=N_MELS, rngs=nnx.Rngs(3))
     s_mega = ARTRSampler(m, kv_dtype=jnp.int8, quantize_weights=True)
     assert m.transformer.build_mega_decode() is not None

@@ -808,11 +808,15 @@ class TransformerLayerStack(nnx.Module):
         b, s, d = xv.shape
         assert s == 1
         slopes = self.rpe.slopes[...]
-        # s8 x s8 dense matmuls (per-row activation quantization):
-        # kills the int8->bf16 weight upconversion VPU pass over every
-        # streamed weight byte and runs the MXU at its doubled int8
-        # rate.  Chip-measured at B=8 (PERFORMANCE.md round 5).
-        a8 = _os.environ.get("VAE_GSLM_MEGA_A8", "0") == "1"
+        # s8 x s8 dense matmuls (per-row activation quantization, no
+        # int8->bf16 weight upconversion).  Same-session chip pairs
+        # (PERFORMANCE.md round 5): +3.8% at B=8, -1.5%/-3.6% at
+        # B=16/32 (the per-row quantize/dequant work grows with B
+        # while the upconversion it replaces is B-independent), so
+        # the default is batch-gated; quality band measured identical
+        # at B=8 (chip_results/quant_quality_b8_a8.txt).
+        a8_env = _os.environ.get("VAE_GSLM_MEGA_A8", "auto")
+        a8 = (b <= 8) if a8_env == "auto" else a8_env == "1"
         xo, kn, vn = fused_trunk_step(
             xv[:, 0].astype(jnp.float32), weights, cache, pos,
             slopes, flushed=flushed, interpret=interpret, a8=a8)
