@@ -269,15 +269,42 @@ class HubertEncoder(nnx.Module):
             x = jnp.where(mask[..., None], x, 0.0)
         if self.cfg.do_stable_layer_norm:
             x = x + self._pos_conv(x)
-            for layer in self.layers:
-                x = layer(x, mask)
+            x = self._run_layers(x, mask)
             x = self.enc_ln(x)
         else:
             x = x + self._pos_conv(x)
             x = self.enc_ln(x)
+            x = self._run_layers(x, mask)
+        return x.astype(jnp.float32)
+
+    def _run_layers(self, x: Array, mask) -> Array:
+        """``lax.scan`` over the layer stack: the identical layers are
+        stacked into one pytree and a SINGLE compiled layer body runs
+        L times — XLA compile time (the dominant cost of jitting the
+        24-layer hubert-large in scripts/hubert_kmeans.py) and eager
+        dispatch both become O(1) in depth, with bitwise-identical
+        per-layer math.  ``VAE_GSLM_HUBERT_NO_SCAN=1`` restores the
+        unrolled Python loop."""
+        import os as _os
+
+        if (len(self.layers) < 2
+                or _os.environ.get("VAE_GSLM_HUBERT_NO_SCAN") == "1"):
             for layer in self.layers:
                 x = layer(x, mask)
-        return x.astype(jnp.float32)
+            return x
+        import flax.nnx as _nnx
+
+        graphdef, _ = _nnx.split(self.layers[0])
+        states = [_nnx.state(l) for l in self.layers]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states)
+
+        def body(carry, s):
+            layer = _nnx.merge(graphdef, s)
+            return layer(carry, mask), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
 
 
 def normalize_input(wave: np.ndarray) -> np.ndarray:
