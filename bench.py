@@ -95,11 +95,13 @@ def main() -> None:
     # Weight-only int8 trunk: the shipped small-batch serving config
     # (quality budgets asserted in tests/test_quantization_ladder.py).
     # At B<=32 the AR decode is weight-streaming-bound and w-int8 is a
-    # large win (B=8: 82.5x -> 152x with the mega kernel); at B>=64 the
-    # KV cache dominates and it measured null — so default by batch,
-    # override with BENCH_W_INT8=0/1.
+    # large win (B=8: 82.5x -> 152x with the mega kernel); at B=64 it
+    # enables CHUNKED-mega serving (2 x B=32 beats the one-batch
+    # packed path — ARTRSampler._serving_chunk, round 5); at B>=128
+    # the KV cache dominates and it measured null — so default by
+    # batch, override with BENCH_W_INT8=0/1.
     w_int8 = os.environ.get("BENCH_W_INT8",
-                            "1" if batch <= 32 else "0") != "0"
+                            "1" if batch <= 64 else "0") != "0"
     if os.environ.get("BENCH_BF16_PARAMS", "1") != "0":
         # Pre-cast trainable params to bf16 so the AR scan reads half
         # the weight bytes (norm/distribution math still runs fp32 via

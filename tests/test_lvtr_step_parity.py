@@ -285,6 +285,50 @@ def test_sampler_mega_path_matches_per_layer(monkeypatch, tp, length):
         np.asarray(out_p["output"].value), rtol=1e-2, atol=1e-2)
 
 
+def test_sampler_chunked_serving(monkeypatch):
+    """Chunked-mega serving mechanics (ARTRSampler._serving_chunk):
+    a forced chunk size splits the batch into sequential sub-batch
+    runs of the same compiled program and concatenates — batch order,
+    uneven tail chunk, Masked lengths, and per-chunk key split all
+    preserved.  (The SPEED rationale — 2 x B=32 mega beats the
+    one-batch B=64 packed path — is chip-measured; this pins the
+    plumbing on any decode path.)"""
+    from tests.test_models import TINY_LVTR, N_MELS
+    from vae_gslm_tpu.inference.speech.sampler import ARTRSampler
+
+    m = LVTR(TINY_LVTR, input_dim=N_MELS, rngs=nnx.Rngs(3))
+    rng = np.random.RandomState(0)
+    b, tp, length = 3, 6, 8
+    toks = rng.randint(0, 11, (b, tp, 1)).astype(np.float32)
+    mel = rng.randn(b, tp, N_MELS).astype(np.float32)
+    prior = Masked.from_lengths(
+        jnp.asarray(np.concatenate([toks, mel], -1)),
+        jnp.asarray([tp, tp, tp - 1]))
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setenv("VAE_GSLM_MEGA_CHUNK", "2")
+    s = ARTRSampler(m, kv_dtype=jnp.int8)
+    out = s(length, prior, key, temperature=0.8,
+            token_temperature=0.8)
+    assert out["frames"].value.shape[0] == b
+    assert np.isfinite(np.asarray(out["output"].value)).all()
+    np.testing.assert_array_equal(
+        np.asarray(out["frames"].lengths),
+        np.asarray([tp + length, tp + length, tp - 1 + length]))
+
+    # chunk i must equal a direct run of the sub-batch with the
+    # matching split key (same compiled program, same PRNG contract)
+    keys = jax.random.split(key, 2)
+    sub = Masked(prior.value[2:], prior.lengths[2:], prior.time_axis)
+    monkeypatch.setenv("VAE_GSLM_MEGA_CHUNK", "0")
+    s2 = ARTRSampler(m, kv_dtype=jnp.int8)
+    ref = s2(length, sub, keys[1], temperature=0.8,
+             token_temperature=0.8)
+    np.testing.assert_allclose(
+        np.asarray(out["frames"].value[2:]),
+        np.asarray(ref["frames"].value), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("length", [8, 280])
 def test_sampler_hybrid_path_matches_per_layer(monkeypatch, length):
     """The hybrid cold/tail Pallas decode path (forced via

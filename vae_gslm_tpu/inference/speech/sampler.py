@@ -465,6 +465,34 @@ class ARTRSampler:
 
         return run
 
+    def _serving_chunk(self, b: int, return_attn: bool) -> int:
+        """Chunk size for chunked-mega serving, or 0.
+
+        At B=64 the one-batch path (lane-packed per-layer cache)
+        serves 178.7x while TWO sequential B=32 mega-kernel batches
+        project to ~209x from the same-session B=32 measurement —
+        the mega kernel's per-step win exceeds the lost batch
+        amortization, but its VMEM slot ring caps it at B<=32.  So
+        for cap < b <= 2*cap (mega-eligible, single mesh) the sampler
+        runs ceil(b/cap) sequential chunks of the compiled cap-batch
+        program and concatenates.  ``VAE_GSLM_MEGA_CHUNK``: auto
+        (default) / 0 (off) / N (forced chunk size)."""
+        import os as _os
+
+        env = _os.environ.get("VAE_GSLM_MEGA_CHUNK", "auto")
+        if env == "0" or return_attn or self.mesh is not None:
+            return 0
+        if env != "auto":
+            c = int(env)
+            return c if 0 < c < b else 0
+        use_stacked = self.model.transformer.supports_stacked_decode()
+        use_mega, _, cap = _select_mega(use_stacked, self.kv_dtype,
+                                        return_attn)
+        if not use_mega or \
+                not self.model.transformer.supports_mega_decode():
+            return 0
+        return cap if cap < b <= 2 * cap else 0
+
     def __call__(self, length: int, prior: Masked, key: Array,
                  temperature: float = 1.0,
                  token_temperature: float = 1.0,
@@ -472,6 +500,32 @@ class ARTRSampler:
                  encoder_temperature: float = 1.0,
                  return_attn: bool = False,
                  ) -> Dict[str, Any]:
+        b = prior.value.shape[0]
+        chunk = self._serving_chunk(b, return_attn)
+        if chunk:
+            n = -(-b // chunk)
+            keys = jax.random.split(key, n)
+            outs = []
+            for i in range(n):
+                sub = Masked(prior.value[i * chunk:(i + 1) * chunk],
+                             prior.lengths[i * chunk:(i + 1) * chunk],
+                             prior.time_axis)
+                outs.append(self(
+                    length, sub, keys[i], temperature=temperature,
+                    token_temperature=token_temperature,
+                    truncated_norm=truncated_norm,
+                    encoder_temperature=encoder_temperature,
+                    return_attn=return_attn))
+
+            def cat(vals):
+                if isinstance(vals[0], Masked):
+                    return Masked(
+                        jnp.concatenate([v.value for v in vals], 0),
+                        jnp.concatenate([v.lengths for v in vals], 0),
+                        vals[0].time_axis)
+                return jnp.concatenate(vals, 0)
+
+            return {k: cat([o[k] for o in outs]) for k in outs[0]}
         sig = (length, temperature, token_temperature,
                tuple(truncated_norm) if truncated_norm else None,
                encoder_temperature, return_attn)

@@ -654,30 +654,36 @@ class TransformerLayerStack(nnx.Module):
             x = self.out(x)
         return x, cache
 
+    def supports_mega_decode(self) -> bool:
+        """``build_mega_decode``'s eligibility checks without building
+        the stacked arrays — a cheap caller-side predicate (used by
+        the sampler's chunked-serving gate)."""
+        if not self.supports_stacked_decode():
+            return False
+        d = self.dim
+        if self.rpe_id != "ALiBi" or d % 256:
+            return False
+        for la in self.layers:
+            mods = (la.self_attn.in_proj, la.self_attn.out_proj,
+                    la.linear1, la.linear2)
+            if any(m.kernel[...].dtype != jnp.int8 for m in mods):
+                return False
+            if la.linear1.out_dim != 4 * d or la.norm1.eps != 1e-6:
+                return False
+            if la.activation is not get_activation(
+                    Hparams(identifier="GELU")):
+                return False
+        return True
+
     def build_mega_decode(self):
         """Chunked int8 weight arrays for the single-call trunk-step
         kernel (``ops/mega_step.fused_trunk_step``).  Returns None
         unless the config fits the kernel: int8-quantized projections
         (``quantize_weights_int8``), no biases, RMSNorm(eps 1e-6),
         ALiBi, pre-LN, GELU, ffd == 4*dim, dim % 256 == 0."""
-        if not self.supports_stacked_decode():
+        if not self.supports_mega_decode():
             return None
         d = self.dim
-        la0 = self.layers[0]
-        if la0.linear1.kernel[...].dtype != jnp.int8:
-            return None
-        if self.rpe_id != "ALiBi" or d % 256:
-            return None
-        for la in self.layers:
-            mods = (la.self_attn.in_proj, la.self_attn.out_proj,
-                    la.linear1, la.linear2)
-            if any(m.kernel[...].dtype != jnp.int8 for m in mods):
-                return None
-            if la.linear1.out_dim != 4 * d or la.norm1.eps != 1e-6:
-                return None
-            if la.activation is not get_activation(
-                    Hparams(identifier="GELU")):
-                return None
 
         def scales(getter):
             return jnp.stack([getter(la).reshape(-1)
