@@ -10,14 +10,15 @@ vocode to 16 kHz — and reports real-time factor per chip
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs (round-2 measured values in PERFORMANCE.md):
-  BENCH_BATCH=128       batch (128: ~300x throughput point, KV-bound,
-                        per-layer decode; 8/16: serving points via the
-                        mega one-kernel-per-step trunk decode + weight
-                        int8, 152x/179x)
+  BENCH_BATCH=128       batch (128: ~311x throughput point, KV-bound,
+                        per-layer decode; 8-32: mega one-kernel-per-
+                        step serving points, 152x/191x/209x; 64:
+                        chunked mega 2x32, 212x)
   BENCH_KV_INT8=1       int8 KV cache (default on)
   BENCH_W_INT8          weight-only int8 trunk (default on for
-                        B<=32 where AR decode is weight-streaming
-                        bound; off at B>=64 where it measured null)
+                        B<=64: weight-streaming-bound decode + the
+                        chunked-mega window; off at B>=128 where it
+                        measured null)
   BENCH_BF16_PARAMS=1   cast trainable params to bf16 (default on)
   BENCH_RUNS=5          timed repetitions (value = best run; the JSON
                         line also carries median + [min,max] spread so

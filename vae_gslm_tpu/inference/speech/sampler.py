@@ -128,12 +128,13 @@ def _select_packed(batch: int, nheads: int, mesh) -> bool:
 
 def _select_mega(use_stacked: bool, kv_dtype, return_attn: bool):
     """(use_mega, interpret, max_batch): one-kernel-per-step trunk
-    decode (``ops/mega_step.py``) — the B<=16 serving default on TPU
-    with int8 KV + int8 weights (651 vs 854 us/step at flushed=512,
-    PERFORMANCE.md; 152x/179x RTF at B=8/16 vs 97x hybrid).  VAE_GSLM_MEGA_DECODE=1 forces it elsewhere
-    (interpret mode — tests), =0 disables;
-    VAE_GSLM_MEGA_MAX_BATCH bounds the batch (VMEM slots scale
-    with B)."""
+    decode (``ops/mega_step.py``) — the B<=32 serving default on TPU
+    with int8 KV + int8 weights (152x/191x/209x RTF at B=8/16/32 vs
+    97-115x hybrid, PERFORMANCE.md; B=(32,64] serves as sequential
+    B=32 chunks — ``ARTRSampler._serving_chunk``).
+    VAE_GSLM_MEGA_DECODE=1 forces it elsewhere (interpret mode —
+    tests), =0 disables; VAE_GSLM_MEGA_MAX_BATCH bounds the batch
+    (VMEM slots scale with B)."""
     import os as _os
 
     env = _os.environ.get("VAE_GSLM_MEGA_DECODE", "auto")
