@@ -170,6 +170,39 @@ def test_mega_kernel_a8_matches_reference(flushed, pos):
         assert rel < 0.05, f"{name}: a8 vs bf16 rel {rel:.3f}"
 
 
+@pytest.mark.parametrize("flushed,pos", [(0, 40), (128, 140)])
+def test_mega_kernel_w4_matches_reference(flushed, pos):
+    """The nibble-packed (int4, group-128 scales) weight path must
+    match its plain-JAX replication exactly, and stay within the
+    expected 4-bit quantization band of the int8-weight reference."""
+    m = _stack()
+    weights = m.build_mega_decode_w4()
+    assert weights is not None
+    assert weights["wq"].shape[1] == D // 2      # packed rows
+    b = 8
+    cache = _cache(b, 2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, D) * 0.3, jnp.float32)
+    slopes = m.rpe.slopes[...]
+    outs_k = fused_trunk_step(x, weights, cache, jnp.asarray(pos),
+                              slopes, flushed=flushed, interpret=True)
+    outs_r = fused_trunk_step_reference(x, weights, cache, pos,
+                                        slopes, flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=2e-3, atol=2e-4, err_msg=name)
+    # 4-bit quantization vs the int8-weight path: bounded rel delta
+    w8 = m.build_mega_decode()
+    outs_b = fused_trunk_step_reference(x, w8, cache, pos, slopes,
+                                        flushed=flushed)
+    for name, a, bb in zip(("x", "k_new", "v_new"), outs_k, outs_b):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        rel = np.abs(a - bb).max() / (np.abs(bb).max() + 1e-9)
+        assert rel < 0.25, f"{name}: w4 vs int8 rel {rel:.3f}"
+
+
 def test_stage_merge_flush_roundtrip():
     """Drive stage_append/merge_stage/flush_mega over 2*STAGE rows
     and check the rows land where the kernel's masks expect them."""

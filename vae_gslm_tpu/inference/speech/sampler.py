@@ -368,7 +368,13 @@ class ARTRSampler:
                                     else 32) else None)
             # One-kernel-per-step trunk decode: the smallest-batch
             # fast path (int8 weights + int8 KV required).
-            mega = (model.transformer.build_mega_decode()
+            # VAE_GSLM_MEGA_W4=1: nibble-packed (int4, group-128
+            # scales) weights — halves the per-step weight stream
+            # that floors B<=8 serving (opt-in probe; see
+            # PERFORMANCE.md round 5 for measurements).
+            _w4 = _os.environ.get("VAE_GSLM_MEGA_W4", "0") == "1"
+            mega = ((model.transformer.build_mega_decode_w4() if _w4
+                     else model.transformer.build_mega_decode())
                     if use_mega and stacked is not None
                     and b <= mega_cap else None)
             if mega is not None:

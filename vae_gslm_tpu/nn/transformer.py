@@ -723,6 +723,43 @@ class TransformerLayerStack(nnx.Module):
             "b2": biases(lambda la: la.linear2, d),
         }
 
+    def build_mega_decode_w4(self, group: int = 128):
+        """Nibble-packed (int4) weights for the mega kernel's w4 path.
+
+        Rows ``r`` and ``r + din/2`` of each int8 kernel share one
+        byte (hi/lo nibble), so the per-step weight stream — the
+        measured floor of B<=8 serving (344 us for 252 MB at flagship
+        dims, PERFORMANCE.md) — halves.  Values are re-quantized from
+        the int8 kernels with per-(row-group, column) scales
+        (``group`` rows each, matching the kernel's group-dot K
+        depth), folded with the existing per-column scale into
+        ``gq/go/g1/g2`` (L, din/group, dout) f32.  The unpack order
+        is chosen so ``concat([packed >> 4, (packed << 4) >> 4])``
+        IS the row order — no in-kernel permutation."""
+        w8 = self.build_mega_decode()
+        if w8 is None:
+            return None
+        out = dict(w8)
+        for name, sname, gname in (("wq", "sq", "gq"),
+                                   ("wo", "so", "go"),
+                                   ("w1", "s1", "g1"),
+                                   ("w2", "s2", "g2")):
+            w = w8[name]                       # (L, din, dout) int8
+            s_col = w8[sname]                  # (L, dout) f32
+            nl, din, dout = w.shape
+            g = group
+            assert din % (2 * g) == 0
+            q = w.astype(jnp.float32).reshape(nl, din // g, g, dout)
+            amax = jnp.max(jnp.abs(q), axis=2)         # (L, G, dout)
+            s4 = jnp.maximum(amax, 1e-8) / 7.0
+            q4 = jnp.clip(jnp.round(q / s4[:, :, None, :]), -8, 7)
+            q4 = q4.reshape(nl, din, dout).astype(jnp.int8)
+            hi = q4[:, :din // 2]
+            lo = q4[:, din // 2:]
+            out[name] = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+            out[gname] = s4 * s_col[:, None, :]
+        return out
+
     def mega_cache_from_prefill(self, cache: LayerKVCache,
                                 prompt_len: int, total_len: int):
         """Convert a filled int8 stacked prefill cache (positions

@@ -96,7 +96,7 @@ def _kernel(scalars_ref,
             kb, vb, ksb, vsb, sems,
             *, nlayers: int, nheads: int, head_dim: int, dim: int,
             flushed: int, batch: int, nslot: int, mm_chunk: int,
-            a8: bool):
+            a8: bool, w4: bool = False, w4_group: int = 128):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -140,6 +140,34 @@ def _kernel(scalars_ref,
         weight temp exists (so no ``mm_chunk`` VMEM pressure either).
         Numerics precedent: the attention phase already int8-quantizes
         q and the probability rows the same way (per-row amax/127)."""
+        if w4:
+            # Nibble-packed weights: (din/2, dout) int8, rows r /
+            # r + din/2 in the hi/lo nibble; ``scales`` is the
+            # (din/group, dout) folded group scale.  Per-group a8
+            # dots (K = group = 128, MXU-native depth) with f32
+            # accumulation of the scaled partials — the weight
+            # stream halves while the unpack shifts ride the same
+            # VPU budget the a8 experiment showed is overlapped.
+            wp = w_ref[...].reshape(din // 2, dout)
+            hi = wp >> 4
+            lo = (wp << 4) >> 4                 # sign-extended
+            xf = xin.astype(jnp.float32)
+            half = din // 2
+            gsz = w4_group
+            y = jnp.zeros((batch, dout), jnp.float32)
+            for gi in range(din // gsz):
+                r0 = gi * gsz
+                wg = (hi[r0:r0 + gsz] if r0 < half
+                      else lo[r0 - half:r0 - half + gsz])
+                xg = xf[:, r0:r0 + gsz]
+                amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+                xs = jnp.maximum(amax, 1e-8) / 127.0
+                x8 = jnp.round(xg / xs).astype(jnp.int8)
+                y = y + jax.lax.dot_general(
+                    x8, wg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (xs * scales[gi])
+            return y
         if a8:
             xf = xin.astype(jnp.float32)
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -313,8 +341,29 @@ def _kernel(scalars_ref,
         l_f = l * corr + e_self
         acc_f = acc * corr + e_self * v_cur
 
+        # Each branch produces the FINAL-scaled projection y: the w4
+        # group scales are per (row-group, out-col) and must apply
+        # inside the per-head loop, so the shared per-column
+        # ``* so_ref[li]`` epilogue moves into the branches.
         y = jnp.zeros((b, d), jnp.float32)
-        if a8:
+        if w4:
+            wp = wo_ref[...].reshape(d // 2, d)
+            wo8 = jnp.concatenate([wp >> 4, (wp << 4) >> 4], axis=0)
+            attn = acc_f / l_f                        # (GH, 1, Dh) f32
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]    # (B, Dh)
+                amax = jnp.max(jnp.abs(a_h), axis=-1, keepdims=True)
+                asx = jnp.maximum(amax, 1e-8) / 127.0
+                a8_h = jnp.round(a_h / asx).astype(jnp.int8)
+                # head rows [h0*dh, (h0+1)*dh) sit inside ONE scale
+                # group (dh <= w4_group and the slices are aligned)
+                gsc = so_ref[li, (h0 * dh) // w4_group]
+                y = y + jax.lax.dot_general(
+                    a8_h, wo8[h0 * dh:(h0 + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (asx * gsc)
+        elif a8:
             attn = acc_f / l_f                        # (GH, 1, Dh) f32
             wo8 = wo_ref[...].reshape(d, d)
             for h0 in range(h):
@@ -327,6 +376,7 @@ def _kernel(scalars_ref,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32
                 ).astype(jnp.float32) * asx
+            y = y * so_ref[li]
         else:
             attn = (acc_f / l_f).astype(jnp.bfloat16)  # (GH, 1, Dh)
             wo = wo_ref[...].reshape(d, d).astype(jnp.bfloat16)
@@ -334,7 +384,8 @@ def _kernel(scalars_ref,
                 a_h = attn[h0 * b:(h0 + 1) * b, 0]    # (B, Dh)
                 y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
                                 preferred_element_type=jnp.float32)
-        x_s[...] = x_s[...] + y * so_ref[li] + bo_ref[li]
+            y = y * so_ref[li]
+        x_s[...] = x_s[...] + y + bo_ref[li]
 
     # --------------------------------------------------- p 2: FFN up
     @pl.when(p == 2)
@@ -394,6 +445,10 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     nl = weights["wq"].shape[0]
     h = cache["k_tail"].shape[1]
     dh = d // h
+    # Nibble-packed weights (build_mega_decode_w4): detected from the
+    # pytree structure, so the jit retraces automatically.
+    w4 = "gq" in weights
+    wd = d // 2 if w4 else d
     assert flushed % BLK == 0
     nblk = flushed // BLK
     # Cold-cache VMEM slots: one per block when they fit in a ~32 MB
@@ -435,16 +490,18 @@ def fused_trunk_step(x: Array, weights, cache: dict,
         grid=(nl, NPHASE),
         in_specs=[
             full(x),
-            pl.BlockSpec((1, d, 3 * d),
+            pl.BlockSpec((1, wd, 3 * d),
                          lambda li, p, s: (i_q(li, p, s), 0, 0)),
-            pl.BlockSpec((1, d, d),
+            pl.BlockSpec((1, wd, d),
                          lambda li, p, s: (i_att(li, p, s), 0, 0)),
-            pl.BlockSpec((1, d, 4 * d),
+            pl.BlockSpec((1, wd, 4 * d),
                          lambda li, p, s: (i_up(li, p, s), 0, 0)),
-            pl.BlockSpec((1, 4 * d, d),
+            pl.BlockSpec((1, 4 * wd, d),
                          lambda li, p, s: (i_dn(li, p, s), 0, 0)),
-            full(weights["sq"]), full(weights["so"]),
-            full(weights["s1"]), full(weights["s2"]),
+            full(weights["gq"] if w4 else weights["sq"]),
+            full(weights["go"] if w4 else weights["so"]),
+            full(weights["g1"] if w4 else weights["s1"]),
+            full(weights["g2"] if w4 else weights["s2"]),
             full(weights["n1"]), full(weights["n3"]),
             full(weights["bq"]), full(weights["bo"]),
             full(weights["b1"]), full(weights["b2"]),
@@ -489,7 +546,8 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     outs = pl.pallas_call(
         functools.partial(_kernel, nlayers=nl, nheads=h, head_dim=dh,
                           dim=d, flushed=flushed, batch=b,
-                          nslot=nslot, mm_chunk=mm_chunk, a8=a8),
+                          nslot=nslot, mm_chunk=mm_chunk, a8=a8,
+                          w4=w4),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -506,7 +564,10 @@ def fused_trunk_step(x: Array, weights, cache: dict,
         interpret=interpret,
     )(jnp.asarray([pos], jnp.int32),
       x, weights["wq"], weights["wo"], weights["w1"], weights["w2"],
-      weights["sq"], weights["so"], weights["s1"], weights["s2"],
+      weights["gq"] if w4 else weights["sq"],
+      weights["go"] if w4 else weights["so"],
+      weights["g1"] if w4 else weights["s1"],
+      weights["g2"] if w4 else weights["s2"],
       weights["n1"], weights["n3"],
       weights["bq"], weights["bo"], weights["b1"], weights["b2"],
       slopes.astype(jnp.float32)[:, None],
@@ -604,7 +665,30 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
         ms = jnp.mean(jnp.square(xx), axis=-1, keepdims=True)
         return xx * jax.lax.rsqrt(ms + 1e-6) * nsc
 
+    w4 = "gq" in weights
+    w4_group = 128
+
     def mm(xin, w8, scales):
+        if w4:
+            din2, dout = w8.shape
+            hi = w8 >> 4
+            lo = (w8 << 4) >> 4
+            xf = xin.astype(jnp.float32)
+            gsz = w4_group
+            y = jnp.zeros((xf.shape[0], dout), jnp.float32)
+            for gi in range((2 * din2) // gsz):
+                r0 = gi * gsz
+                wg = (hi[r0:r0 + gsz] if r0 < din2
+                      else lo[r0 - din2:r0 - din2 + gsz])
+                xg = xf[:, r0:r0 + gsz]
+                amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+                xs = jnp.maximum(amax, 1e-8) / 127.0
+                x8 = jnp.round(xg / xs).astype(jnp.int8)
+                y = y + jax.lax.dot_general(
+                    x8, wg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (xs * scales[gi])
+            return y
         if a8:
             xf = xin.astype(jnp.float32)
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -641,7 +725,8 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
     nblk = flushed // BLK
     for li in range(nl):
         h1 = rms(x, weights["n1"][li])
-        qkv = (mm(h1, weights["wq"][li], weights["sq"][li])
+        qkv = (mm(h1, weights["wq"][li],
+                  weights["gq" if w4 else "sq"][li])
                + weights["bq"][li])
 
         def heads(off):
@@ -715,7 +800,22 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
         l_f = l * corr + e_self
         acc_f = acc * corr + e_self * v_cur
         y = jnp.zeros((b, d), jnp.float32)
-        if a8:
+        if w4:
+            wp = weights["wo"][li]
+            wo8 = jnp.concatenate([wp >> 4, (wp << 4) >> 4], axis=0)
+            attn = acc_f / l_f
+            for h0 in range(h):
+                a_h = attn[h0 * b:(h0 + 1) * b, 0]
+                amax = jnp.max(jnp.abs(a_h), axis=-1, keepdims=True)
+                asx = jnp.maximum(amax, 1e-8) / 127.0
+                a8_h = jnp.round(a_h / asx).astype(jnp.int8)
+                gsc = weights["go"][li, (h0 * dh) // w4_group]
+                y = y + jax.lax.dot_general(
+                    a8_h, wo8[h0 * dh:(h0 + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (asx * gsc)
+        elif a8:
             attn = acc_f / l_f
             wo8 = weights["wo"][li]
             for h0 in range(h):
@@ -728,6 +828,7 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32
                 ).astype(jnp.float32) * asx
+            y = y * weights["so"][li]
         else:
             attn = (acc_f / l_f).astype(jnp.bfloat16)
             wo = weights["wo"][li].astype(jnp.bfloat16)
@@ -735,10 +836,13 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
                 a_h = attn[h0 * b:(h0 + 1) * b, 0]
                 y = y + jnp.dot(a_h, wo[h0 * dh:(h0 + 1) * dh],
                                 preferred_element_type=jnp.float32)
-        x = x + y * weights["so"][li] + weights["bo"][li]
+            y = y * weights["so"][li]
+        x = x + y + weights["bo"][li]
         h2 = rms(x, weights["n3"][li])
-        g = _gelu_exact(mm(h2, weights["w1"][li], weights["s1"][li])
+        g = _gelu_exact(mm(h2, weights["w1"][li],
+                           weights["g1" if w4 else "s1"][li])
                         + weights["b1"][li])
-        x = (x + mm(g, weights["w2"][li], weights["s2"][li])
+        x = (x + mm(g, weights["w2"][li],
+                    weights["g2" if w4 else "s2"][li])
              + weights["b2"][li])
     return x, jnp.stack(k_news), jnp.stack(v_news)
