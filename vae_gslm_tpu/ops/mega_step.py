@@ -149,8 +149,12 @@ def _kernel(scalars_ref,
             # stream halves while the unpack shifts ride the same
             # VPU budget the a8 experiment showed is overlapped.
             wp = w_ref[...].reshape(din // 2, dout)
-            hi = wp >> 4
-            lo = (wp << 4) >> 4                 # sign-extended
+            # Mosaic has no int8 arith shifts (arith.shrsi fails to
+            # legalize on i8 vectors); unpack through i32, the native
+            # VPU width.
+            w32 = wp.astype(jnp.int32)
+            hi = (w32 >> 4).astype(jnp.int8)
+            lo = ((w32 << 28) >> 28).astype(jnp.int8)  # sign-extended
             xf = xin.astype(jnp.float32)
             half = din // 2
             gsz = w4_group
@@ -347,8 +351,10 @@ def _kernel(scalars_ref,
         # ``* so_ref[li]`` epilogue moves into the branches.
         y = jnp.zeros((b, d), jnp.float32)
         if w4:
-            wp = wo_ref[...].reshape(d // 2, d)
-            wo8 = jnp.concatenate([wp >> 4, (wp << 4) >> 4], axis=0)
+            wp32 = wo_ref[...].reshape(d // 2, d).astype(jnp.int32)
+            wo8 = jnp.concatenate(
+                [(wp32 >> 4).astype(jnp.int8),
+                 ((wp32 << 28) >> 28).astype(jnp.int8)], axis=0)
             attn = acc_f / l_f                        # (GH, 1, Dh) f32
             for h0 in range(h):
                 a_h = attn[h0 * b:(h0 + 1) * b, 0]    # (B, Dh)
