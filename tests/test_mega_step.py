@@ -170,13 +170,14 @@ def test_mega_kernel_a8_matches_reference(flushed, pos):
         assert rel < 0.05, f"{name}: a8 vs bf16 rel {rel:.3f}"
 
 
-@pytest.mark.parametrize("flushed,pos", [(0, 40), (128, 140)])
-def test_mega_kernel_w4_matches_reference(flushed, pos):
-    """The nibble-packed (int4, group-128 scales) weight path must
+@pytest.mark.parametrize("flushed,pos,group", [(0, 40, 128),
+                                               (128, 140, 64)])
+def test_mega_kernel_w4_matches_reference(flushed, pos, group):
+    """The nibble-packed (int4, grouped scales) weight path must
     match its plain-JAX replication exactly, and stay within the
     expected 4-bit quantization band of the int8-weight reference."""
     m = _stack()
-    weights = m.build_mega_decode_w4()
+    weights = m.build_mega_decode_w4(group=group)
     assert weights is not None
     assert weights["wq"].shape[1] == D // 2      # packed rows
     b = 8

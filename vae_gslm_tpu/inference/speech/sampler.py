@@ -372,8 +372,10 @@ class ARTRSampler:
             # scales) weights — halves the per-step weight stream
             # that floors B<=8 serving (opt-in probe; see
             # PERFORMANCE.md round 5 for measurements).
-            _w4 = _os.environ.get("VAE_GSLM_MEGA_W4", "0") == "1"
-            mega = ((model.transformer.build_mega_decode_w4() if _w4
+            _w4v = _os.environ.get("VAE_GSLM_MEGA_W4", "0")
+            mega = ((model.transformer.build_mega_decode_w4(
+                        group=64 if _w4v == "64" else 128)
+                     if _w4v not in ("0", "")
                      else model.transformer.build_mega_decode())
                     if use_mega and stacked is not None
                     and b <= mega_cap else None)

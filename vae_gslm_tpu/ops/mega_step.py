@@ -452,9 +452,11 @@ def fused_trunk_step(x: Array, weights, cache: dict,
     h = cache["k_tail"].shape[1]
     dh = d // h
     # Nibble-packed weights (build_mega_decode_w4): detected from the
-    # pytree structure, so the jit retraces automatically.
+    # pytree structure, so the jit retraces automatically.  The scale
+    # group size is derived from the gq shape (L, din/group, dout).
     w4 = "gq" in weights
     wd = d // 2 if w4 else d
+    w4_group = d // weights["gq"].shape[1] if w4 else 128
     assert flushed % BLK == 0
     nblk = flushed // BLK
     # Cold-cache VMEM slots: one per block when they fit in a ~32 MB
@@ -553,7 +555,7 @@ def fused_trunk_step(x: Array, weights, cache: dict,
         functools.partial(_kernel, nlayers=nl, nheads=h, head_dim=dh,
                           dim=d, flushed=flushed, batch=b,
                           nslot=nslot, mm_chunk=mm_chunk, a8=a8,
-                          w4=w4),
+                          w4=w4, w4_group=w4_group),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -672,7 +674,7 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
         return xx * jax.lax.rsqrt(ms + 1e-6) * nsc
 
     w4 = "gq" in weights
-    w4_group = 128
+    w4_group = (d // weights["go"].shape[1]) if w4 else 128
 
     def mm(xin, w8, scales):
         if w4:
@@ -680,7 +682,7 @@ def fused_trunk_step_reference(x, weights, cache, pos, slopes,
             hi = w8 >> 4
             lo = (w8 << 4) >> 4
             xf = xin.astype(jnp.float32)
-            gsz = w4_group
+            gsz = (2 * din2) // scales.shape[0]
             y = jnp.zeros((xf.shape[0], dout), jnp.float32)
             for gi in range((2 * din2) // gsz):
                 r0 = gi * gsz
